@@ -1,0 +1,189 @@
+"""Distribution sampling over the AES-CTR stream.
+
+Re-implements the reference's `math/random` layer
+(concrete-core/src/backends/core/private/math/random/) with byte-for-byte
+identical stream consumption, vectorized:
+
+- uniform integers: little-endian bytes (uniform.rs:8-30);
+- binary: one byte per value, LSB (uniform_binary.rs:12);
+- ternary: rejection sampling on `byte & 3` (uniform_ternary.rs:12);
+- gaussian pairs: Marsaglia polar Box-Muller on two i64 draws scaled by
+  2^-63, rejecting unless 0 < s < 1 (gaussian.rs:19-56); torus outputs map
+  through `from_torus` (gaussian.rs:58-79).
+
+Rejection loops are vectorized speculatively: we read ahead in the stream,
+keep exactly the attempts the sequential algorithm would have consumed, and
+rewind the generator state to just past the last consumed byte — giving
+bit-identical streams to the reference's sequential sampling.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ..torus import from_torus_f64
+from .generator import AesCtrGenerator, State
+
+_DTYPES = {8: np.uint8, 16: np.uint16, 32: np.uint32, 64: np.uint64}
+
+
+class RandomGenerator:
+    """A CSPRNG with distribution samplers (math/random/generator.rs:52)."""
+
+    def __init__(self, seed: int | None = None, *, _inner: AesCtrGenerator | None = None):
+        self.inner = _inner if _inner is not None else AesCtrGenerator(key=seed)
+
+    # -- plumbing ---------------------------------------------------------
+
+    def generate_bytes(self, n: int) -> np.ndarray:
+        return self.inner.generate_bytes(n)
+
+    def generate_next(self) -> int:
+        return self.inner.generate_next()
+
+    def remaining_bytes(self) -> int | None:
+        return self.inner.remaining_bytes()
+
+    def is_bounded(self) -> bool:
+        return self.inner.is_bounded()
+
+    def try_fork(self, n_child: int, bytes_per_child: int) -> list["RandomGenerator"]:
+        return [
+            RandomGenerator(_inner=g) for g in self.inner.try_fork(n_child, bytes_per_child)
+        ]
+
+    # -- uniform ----------------------------------------------------------
+
+    def random_uniform_array(self, size: int, bits: int = 32) -> np.ndarray:
+        """Uniform unsigned integers, little-endian bytes (uniform.rs)."""
+        raw = self.generate_bytes(size * (bits // 8))
+        return raw.view(np.dtype(_DTYPES[bits]).newbyteorder("<")).astype(_DTYPES[bits])
+
+    def random_uniform_binary_array(self, size: int, bits: int = 32) -> np.ndarray:
+        """One byte per value, keep the LSB (uniform_binary.rs:12)."""
+        return (self.generate_bytes(size) & 1).astype(_DTYPES[bits])
+
+    def random_uniform_ternary_array(self, size: int, bits: int = 32) -> np.ndarray:
+        """Rejection sampling: byte & 3 in {0,1,2} -> {0,1,-1} (uniform_ternary.rs)."""
+        dtype = _DTYPES[bits]
+
+        def attempt_eval(raw: np.ndarray):
+            two_bits = raw & 3
+            accept = two_bits != 3
+            return accept, two_bits
+
+        vals = self._rejection_stream(size, 1, attempt_eval)
+        out = vals.astype(dtype)
+        out[vals == 2] = dtype((1 << bits) - 1)  # wrapping -1
+        return out
+
+    def random_uniform_n_lsb_array(self, size: int, n: int, bits: int = 32) -> np.ndarray:
+        full = self.random_uniform_array(size, bits)
+        if n >= bits:
+            return full
+        return full & _DTYPES[bits]((1 << n) - 1) if n > 0 else np.zeros(size, _DTYPES[bits])
+
+    def random_uniform_n_msb_array(self, size: int, n: int, bits: int = 32) -> np.ndarray:
+        full = self.random_uniform_array(size, bits)
+        if n == 0:
+            return np.zeros(size, _DTYPES[bits])
+        return full & _DTYPES[bits](~((1 << (bits - n)) - 1) & ((1 << bits) - 1))
+
+    def random_uniform_with_zeros_array(
+        self, size: int, prob_zero: float, bits: int = 32
+    ) -> np.ndarray:
+        """Uniform with probability 1-prob_zero, else zero (uniform_with_zeros.rs).
+
+        Byte consumption is data-dependent (4 bytes for the coin, then the
+        value bytes only when nonzero), so this is a sequential loop — it is
+        only used by research/test paths, never in key generation.
+        """
+        out = np.zeros(size, dtype=_DTYPES[bits])
+        for i in range(size):
+            coin = int.from_bytes(bytes(self.generate_bytes(4)), "little")
+            if np.float32(coin) / np.float32(0xFFFFFFFF) >= np.float32(prob_zero):
+                raw = self.generate_bytes(bits // 8)
+                out[i] = int.from_bytes(bytes(raw), "little")
+        return out
+
+    # -- gaussian ---------------------------------------------------------
+
+    def random_gaussian_pairs(self, n_pairs: int, mean: float, std: float):
+        """Marsaglia-polar gaussian pairs (u*cst+mean, v*cst+mean) as f64.
+
+        Each attempt consumes exactly 16 bytes (two i64, gaussian.rs:27);
+        attempts are rejected unless 0 < s < 1.
+        """
+
+        def attempt_eval(raw: np.ndarray):
+            ints = raw.reshape(-1, 16).view("<i8")  # [m, 2] little-endian i64
+            uv = ints.astype(np.float64) * 2.0 ** -63
+            s = uv[:, 0] ** 2 + uv[:, 1] ** 2
+            accept = (s > 0.0) & (s < 1.0)
+            return accept, uv
+
+        uv = self._rejection_stream(n_pairs, 16, attempt_eval)
+        s = uv[:, 0] ** 2 + uv[:, 1] ** 2
+        cst = std * np.sqrt(-2.0 * np.log(s) / s)
+        return uv[:, 0] * cst + mean, uv[:, 1] * cst + mean
+
+    def fill_gaussian_torus(self, size: int, std: float, bits: int) -> np.ndarray:
+        """Fill ``size`` torus values with gaussian noise, pairwise.
+
+        Matches fill_tensor_with_random_gaussian (generator.rs:558-581): values
+        are produced in chunks of two; for odd sizes the second element of the
+        last pair is discarded. Conversion via from_torus (gaussian.rs:58-79).
+        """
+        n_pairs = (size + 1) // 2
+        g1, g2 = self.random_gaussian_pairs(n_pairs, 0.0, std)
+        t1 = from_torus_f64(g1, bits)
+        t2 = from_torus_f64(g2, bits)
+        out = np.empty(2 * n_pairs, dtype=_DTYPES[bits])
+        out[0::2] = t1
+        out[1::2] = t2
+        return out[:size]
+
+    def fill_gaussian_float(self, size: int, mean: float, std: float) -> np.ndarray:
+        n_pairs = (size + 1) // 2
+        g1, g2 = self.random_gaussian_pairs(n_pairs, mean, std)
+        out = np.empty(2 * n_pairs, dtype=np.float64)
+        out[0::2] = g1
+        out[1::2] = g2
+        return out[:size]
+
+    # -- speculative rejection sampling ------------------------------------
+
+    def _rejection_stream(self, n_needed: int, attempt_bytes: int, attempt_eval):
+        """Run a sequential rejection sampler, vectorized.
+
+        ``attempt_eval(raw)`` maps a flat u8 array of m*attempt_bytes to
+        (accept_mask[m], values[m, ...]). Consumes from the stream exactly the
+        attempts the sequential algorithm would have used (state is rewound
+        past the last accepted attempt).
+        """
+        start = self.inner.state
+        collected = []
+        n_accepted = 0
+        attempts_used = 0
+        while n_accepted < n_needed:
+            want = n_needed - n_accepted
+            m = max(int(want * 1.35) + 8, 16)
+            if self.inner.bound is not None:
+                avail = (self.inner.bound.gpos - self.inner.state.gpos) // attempt_bytes
+                if avail < 1:
+                    raise RuntimeError("Tried to generate a byte outside the generator bound.")
+                m = min(m, avail)
+            raw = self.inner.generate_bytes(m * attempt_bytes)
+            accept, values = attempt_eval(raw)
+            acc_idx = np.nonzero(accept)[0]
+            if len(acc_idx) >= want:
+                last = acc_idx[want - 1]
+                collected.append(values[acc_idx[:want]])
+                n_accepted += want
+                attempts_used += int(last) + 1
+            else:
+                collected.append(values[acc_idx])
+                n_accepted += len(acc_idx)
+                attempts_used += m
+        self.inner.state = State(gpos=start.gpos + attempts_used * attempt_bytes)
+        return np.concatenate(collected, axis=0)
