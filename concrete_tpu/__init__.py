@@ -22,11 +22,24 @@ Design stance (vs the reference's Rust/FFTW):
   the reference's f64 FFT is approximate.
 """
 
+import os as _os
+
 import jax as _jax
 
 # u64 torus support (the reference's `concrete` crate fixes Torus = u64,
 # concrete/src/lib.rs:22). Enable 64-bit types before any array is created.
 _jax.config.update("jax_enable_x64", True)
+
+# Persistent compilation cache: NTT/PBS programs are deep (log2(N) unrolled
+# stages x CRT primes) and recompile cost dominates on small hosts.
+_cache_dir = _os.environ.get(
+    "CONCRETE_TPU_CACHE_DIR", _os.path.join(_os.path.dirname(__file__), "..", ".jax_cache")
+)
+try:
+    _jax.config.update("jax_compilation_cache_dir", _os.path.abspath(_cache_dir))
+    _jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.1)
+except Exception:  # older jax without these flags
+    pass
 
 from . import dispersion, params  # noqa: E402,F401
 

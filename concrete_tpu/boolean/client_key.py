@@ -1,0 +1,66 @@
+"""Client key: secret keys + encrypt/decrypt of booleans.
+
+Reference: concrete-boolean/src/client_key/mod.rs. Encoding (lib.rs:53-59):
+true = +1/8 (1 << 29 on the u32 torus), false = -1/8 (7 << 29); decryption is
+a sign test around 0 (decrypt: phase < 2^31 means true).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import numpy as np
+
+from ..core.glwe import GlweSecretKey
+from ..core.lwe import LweSecretKey
+from ..csprng import EncryptionRandomGenerator, SecretRandomGenerator
+from ..params import BooleanParameters
+
+PLAINTEXT_LOG_SCALING_FACTOR = 3
+PLAINTEXT_TRUE = np.uint32(1 << (32 - PLAINTEXT_LOG_SCALING_FACTOR))  # +1/8
+PLAINTEXT_FALSE = np.uint32((7 << (32 - PLAINTEXT_LOG_SCALING_FACTOR)) & 0xFFFFFFFF)  # -1/8
+
+
+@dataclasses.dataclass
+class ClientKey:
+    """LWE + GLWE binary secret keys (client_key/mod.rs:113)."""
+
+    lwe_secret_key: LweSecretKey
+    glwe_secret_key: GlweSecretKey
+    parameters: BooleanParameters
+
+    @classmethod
+    def new(cls, parameters: BooleanParameters, *, secret_seed: int | None = None):
+        gen = SecretRandomGenerator(secret_seed)
+        lwe_sk = LweSecretKey.generate_binary(parameters.lwe_dimension, gen, bits=32)
+        glwe_sk = GlweSecretKey.generate_binary(
+            parameters.glwe_dimension, parameters.polynomial_size, gen, bits=32
+        )
+        return cls(lwe_secret_key=lwe_sk, glwe_secret_key=glwe_sk, parameters=parameters)
+
+    def encrypt(
+        self,
+        messages,
+        *,
+        mask_seed: int | None = None,
+        noise_seed: int | None = None,
+    ) -> np.ndarray:
+        """Encrypt a (batch of) boolean(s) -> [..., n+1] uint32
+        (client_key/mod.rs:49-72)."""
+        msgs = np.asarray(messages, dtype=bool)
+        plain = np.where(msgs, PLAINTEXT_TRUE, PLAINTEXT_FALSE).astype(np.uint32)
+        gen = EncryptionRandomGenerator(mask_seed, noise_seed)
+        return self.lwe_secret_key.encrypt(
+            plain, self.parameters.lwe_modular_std_dev.std_dev, gen
+        )
+
+    def decrypt(self, ciphertexts) -> np.ndarray:
+        """Decrypt -> bool array; sign test (client_key/mod.rs:91-100)."""
+        phase = self.lwe_secret_key.decrypt(np.asarray(ciphertexts, dtype=np.uint32))
+        return phase < np.uint32(1 << 31)
+
+    def decrypt_big_key(self, ciphertexts) -> np.ndarray:
+        """Decrypt ciphertexts under the flattened GLWE ("big") key —
+        useful for inspecting pre-keyswitch PBS outputs."""
+        big = self.glwe_secret_key.into_lwe_key()
+        return big.decrypt(np.asarray(ciphertexts, dtype=np.uint32)) < np.uint32(1 << 31)

@@ -1,0 +1,221 @@
+"""Programmable bootstrapping: external product, CMux, blind rotation,
+sample extraction — the heart of the library, batch-first and jittable.
+
+Reference algorithms (crypto/bootstrap/fourier/mod.rs):
+- external_product (:463-645): decompose the GLWE, transform, MAC against the
+  GGSW rows, inverse-transform, add into the output;
+- cmux (:648-664): ct0 += extprod(ggsw, ct1 - ct0);
+- blind_rotate (:666-726): modulus-switch the LWE to 2N, rotate the LUT by
+  X^{-b}, then one CMux per mask element;
+- pbs_modulus_switch (:728-748) with ModulusSwitchOffset / LutCountLog knobs;
+- constant_sample_extract (:750-790); bootstrap (:878-911).
+
+TPU-first redesign vs the reference:
+- the f64 FFT becomes an exact prime-NTT (u32 Montgomery lanes) + CRT;
+- the per-ciphertext "skip if mask == 0" branch (fourier/mod.rs:710) is
+  dropped: a zero rotation makes ct1 == ct0, the decomposition of the zero
+  difference is all-zero digits, and the external product contributes exactly
+  0 — so the branchless chain is bit-identical and fully batched;
+- the n-iteration CMux chain is a lax.fori_loop carrying the accumulator,
+  with the NTT-domain bootstrap key streamed from HBM.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..math import crt, decomposition, ntt, polynomial
+from ..params import BooleanParameters
+from . import lwe as lwe_ops
+
+_JNP_SIGNED = {32: jnp.int32, 64: jnp.int64}
+
+
+@dataclasses.dataclass(frozen=True)
+class ServerConfig:
+    """Static (hashable) configuration closed over by the jitted server ops."""
+
+    lwe_dimension: int
+    glwe_dimension: int
+    polynomial_size: int
+    pbs_base_log: int
+    pbs_level: int
+    ks_base_log: int
+    ks_level: int
+    bits: int = 32
+    primes: tuple[int, ...] = ()
+
+    def __post_init__(self):
+        if not self.primes:
+            bound = crt.external_product_bound(
+                self.polynomial_size,
+                self.pbs_level * (self.glwe_dimension + 1),
+                1 << self.pbs_base_log,
+                self.bits,
+            )
+            object.__setattr__(self, "primes", crt.select_primes(bound))
+
+    @classmethod
+    def from_boolean_parameters(cls, p: BooleanParameters) -> "ServerConfig":
+        return cls(
+            lwe_dimension=p.lwe_dimension,
+            glwe_dimension=p.glwe_dimension,
+            polynomial_size=p.polynomial_size,
+            pbs_base_log=p.pbs_base_log,
+            pbs_level=p.pbs_level,
+            ks_base_log=p.ks_base_log,
+            ks_level=p.ks_level,
+            bits=32,
+        )
+
+    @property
+    def glwe_size(self) -> int:
+        return self.glwe_dimension + 1
+
+    @property
+    def big_lwe_dimension(self) -> int:
+        return self.glwe_dimension * self.polynomial_size
+
+    @property
+    def crt_context(self) -> crt.CrtContext:
+        return crt.CrtContext.new(self.primes, self.bits)
+
+    def plan(self, p: int) -> ntt.NttPlan:
+        return ntt.make_plan(self.polynomial_size, p)
+
+
+# ---------------------------------------------------------------------------
+# external product / cmux
+# ---------------------------------------------------------------------------
+
+
+def external_product(cfg: ServerConfig, ggsw_ntt, glwe):
+    """<decomp(glwe), GGSW> added to nothing — returns the product GLWE.
+
+    ggsw_ntt: [P, l, k+1, k+1, N] Montgomery spectra; glwe: [..., k+1, N]
+    torus. Exact: no FFT rounding term (fourier/mod.rs:463-645 analog).
+    """
+    rounded = decomposition.closest_representable(glwe, cfg.pbs_base_log, cfg.pbs_level)
+    digits = decomposition.decompose_levels(rounded, cfg.pbs_base_log, cfg.pbs_level)
+    # [..., k+1, N, l] -> [..., l, k+1, N]
+    digits = jnp.moveaxis(digits, -1, -3)
+    cc = cfg.crt_context
+    out_res = []
+    for pi, p in enumerate(cfg.primes):
+        plan = cfg.plan(p)
+        # small-signed -> residue without 64-bit ops: |digit| <= B/2 << p
+        dres = jnp.where(digits < 0, digits + np.int32(p), digits).astype(jnp.uint32)
+        dspec = ntt.forward(plan, dres)  # [..., l, k+1, N] mont
+        acc = None
+        for lev in range(cfg.pbs_level):
+            for i in range(cfg.glwe_size):
+                d = dspec[..., lev, i, :]
+                g = ggsw_ntt[pi, lev, i]  # [k+1, N]
+                prod = plan.ctx.mont_mul(d[..., None, :], g)
+                acc = prod if acc is None else plan.ctx.add(acc, prod)
+        out_res.append(ntt.inverse(plan, acc))
+    return cc.combine_to_torus(out_res)
+
+
+def cmux(cfg: ServerConfig, ggsw_ntt, ct0, ct1):
+    """ct0 + extprod(ggsw, ct1 - ct0): selects ct0 (bit=0) or ct1 (bit=1).
+
+    Reference fourier/mod.rs:648-664 (result in ct0)."""
+    return ct0 + external_product(cfg, ggsw_ntt, ct1 - ct0)
+
+
+# ---------------------------------------------------------------------------
+# modulus switch / blind rotate / sample extract
+# ---------------------------------------------------------------------------
+
+
+def pbs_modulus_switch(x, poly_size: int, offset: int = 0, lut_count_log: int = 0):
+    """Round a torus value to Z_{2N} (fourier/mod.rs:728-748).
+
+    offset = number of MSBs discarded; lut_count_log = LSB padding for
+    multi-LUT packing. Returns int32 monomial degrees.
+    """
+    bits = jnp.dtype(x.dtype).itemsize * 8
+    log2n = poly_size.bit_length() - 1
+    out = x << offset
+    out = out >> (bits - log2n - 2 + lut_count_log)
+    out = out + (out & np.array(1, x.dtype))
+    out = out >> 1
+    out = out << lut_count_log
+    return out.astype(jnp.int32)
+
+
+def blind_rotate(cfg: ServerConfig, bsk_ntt, lut, lwe):
+    """Rotate `lut` by X^{-b} then CMux-chain over the mask elements.
+
+    bsk_ntt: [P, n, l, k+1, k+1, N]; lut: [..., k+1, N]; lwe: [..., n+1].
+    Returns the rotated accumulator GLWE [..., k+1, N]. The chain is
+    sequential in the LWE dimension (inherent data dependency); all batch
+    lanes advance together (fourier/mod.rs:666-726).
+    """
+    n_poly = cfg.polynomial_size
+    body = lwe[..., -1]
+    b_hat = pbs_modulus_switch(body, n_poly)
+    acc = polynomial.negacyclic_monomial_div(lut, b_hat[..., None])
+
+    def step(i, acc):
+        a_i = jax.lax.dynamic_index_in_dim(lwe, i, axis=-1, keepdims=False)
+        a_hat = pbs_modulus_switch(a_i, n_poly)
+        rotated = polynomial.negacyclic_monomial_mul(acc, a_hat[..., None])
+        ggsw_i = jax.lax.dynamic_index_in_dim(bsk_ntt, i, axis=1, keepdims=False)
+        return cmux(cfg, ggsw_i, acc, rotated)
+
+    return jax.lax.fori_loop(0, cfg.lwe_dimension, step, acc)
+
+
+def sample_extract(glwe):
+    """LWE(dim k*N) of coefficient 0 of the GLWE (fourier/mod.rs:750-790).
+
+    Mask polys are reversed+negated then multiplied by X (wrapping the last
+    coefficient around with a sign flip); body = body poly coefficient 0.
+    """
+    mask = glwe[..., :-1, :]
+    zero = np.array(0, glwe.dtype)
+    tmp = zero - mask[..., ::-1]
+    rolled = jnp.roll(tmp, 1, axis=-1)
+    first = zero - rolled[..., 0:1]
+    out_mask = jnp.concatenate([first, rolled[..., 1:]], axis=-1)
+    lead = glwe.shape[:-2]
+    k, n = mask.shape[-2], mask.shape[-1]
+    out_mask = out_mask.reshape(lead + (k * n,))
+    body = glwe[..., -1, 0:1]
+    return jnp.concatenate([out_mask, body], axis=-1)
+
+
+def bootstrap(cfg: ServerConfig, bsk_ntt, lut, lwe):
+    """Full PBS: blind rotate the accumulator, then sample-extract
+    (fourier/mod.rs:878-911). lwe: [..., n+1] -> [..., k*N+1]."""
+    return sample_extract(blind_rotate(cfg, bsk_ntt, lut, lwe))
+
+
+def bootstrap_keyswitch(cfg: ServerConfig, bsk_ntt, ksk, lut, lwe):
+    """PBS followed by keyswitch back to the small key — the per-gate
+    pipeline of concrete-boolean (server_key/mod.rs:133-166)."""
+    big = bootstrap(cfg, bsk_ntt, lut, lwe)
+    return lwe_ops.keyswitch(
+        ksk, big, base_log=cfg.ks_base_log, level_count=cfg.ks_level
+    )
+
+
+def trivial_lut_constant(cfg: ServerConfig, value, batch_shape=()):
+    """Accumulator GLWE with zero mask and constant body polynomial — the
+    boolean gates' test polynomial (server_key/mod.rs:145-156)."""
+    dt = jnp.uint32 if cfg.bits == 32 else jnp.uint64
+    lut = jnp.zeros(batch_shape + (cfg.glwe_size, cfg.polynomial_size), dtype=dt)
+    return lut.at[..., -1, :].set(jnp.asarray(value, dtype=dt))
+
+
+@functools.lru_cache(maxsize=None)
+def jit_bootstrap_keyswitch(cfg: ServerConfig):
+    """Cached jitted gate pipeline for a configuration."""
+    return jax.jit(functools.partial(bootstrap_keyswitch, cfg))

@@ -1,0 +1,173 @@
+"""GGSW layer: constant encryption (key material) and NTT-domain conversion.
+
+A GGSW ciphertext is [l, k+1, k+1, N]: `level` matrices of (k+1) GLWE rows
+(reference: crypto/ggsw/standard.rs:25). A bootstrap key is one GGSW per LWE
+key bit, [n, l, k+1, k+1, N] (crypto/bootstrap/standard/mod.rs:57).
+
+Randomness is drawn per forked child generator in reference order
+(bit-exactness), but ciphertext assembly — every mask*key polynomial product —
+runs as ONE batched NTT over all n*l*(k+1) rows, replacing the reference's
+rayon fan-out (standard/mod.rs:254) with data parallelism.
+
+The reference converts the BSK to the complex Fourier domain
+(bootstrap/fourier/mod.rs:33,186); we convert to the exact NTT domain instead:
+per CRT prime, Montgomery-form spectra [P, n, l, k+1, k+1, N] uint32 —
+resident in HBM, streamed through VMEM during blind rotation.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..csprng import EncryptionRandomGenerator
+from ..math import crt, ntt
+from ..torus import UNSIGNED
+from .glwe import GlweSecretKey
+
+
+def _draw_ggsw_randomness(
+    glwe_key: GlweSecretKey, level_count: int, std: float, gen: EncryptionRandomGenerator
+):
+    """Draw mask/noise for one GGSW in reference fork order
+    (secret/glwe.rs:775-820): fork per level, then per row; each row draws
+    noise[N] then mask[k,N] from its own child generator."""
+    bits = glwe_key.bits
+    k, n = glwe_key.dimension, glwe_key.polynomial_size
+    masks = np.zeros((level_count, k + 1, k, n), dtype=UNSIGNED[bits])
+    noises = np.zeros((level_count, k + 1, n), dtype=UNSIGNED[bits])
+    for lev_idx, lev_gen in enumerate(
+        gen.fork_ggsw_to_ggsw_levels(bits, level_count, k + 1, n)
+    ):
+        for row_idx, row_gen in enumerate(
+            lev_gen.fork_ggsw_level_to_glwe(bits, k + 1, n)
+        ):
+            m, nz = glwe_key.draw_randomness(1, std, row_gen)
+            masks[lev_idx, row_idx] = m[0]
+            noises[lev_idx, row_idx] = nz[0]
+    return masks, noises
+
+
+def encrypt_constant_ggsw(
+    glwe_key: GlweSecretKey,
+    value: int,
+    base_log: int,
+    level_count: int,
+    std: float,
+    gen: EncryptionRandomGenerator,
+) -> np.ndarray:
+    """Encrypt a constant (key bit) as a GGSW -> [l, k+1, k+1, N].
+
+    Mirrors encrypt_constant_ggsw (secret/glwe.rs:775-860): each row is a
+    fresh zero GLWE from its forked generator; the gadget summand
+    m * q/B^level is added to the first coefficient of the row's diagonal
+    polynomial (column == row index).
+    """
+    masks, noises = _draw_ggsw_randomness(glwe_key, level_count, std, gen)
+    return assemble_ggsw(glwe_key, int(value), base_log, level_count, masks, noises)[0]
+
+
+def assemble_ggsw(
+    glwe_key: GlweSecretKey,
+    value: int,
+    base_log: int,
+    level_count: int,
+    masks: np.ndarray,   # [l, k+1, k, N] or [n, l, k+1, k, N]
+    noises: np.ndarray,  # [l, k+1, N]  or [n, l, k+1, N]
+    values: np.ndarray | None = None,  # [n] when batched over key bits
+) -> np.ndarray:
+    """Assemble GGSW rows from randomness: one batched multisum, then add the
+    gadget constants on the diagonals."""
+    bits = glwe_key.bits
+    dt = UNSIGNED[bits]
+    k, n = glwe_key.dimension, glwe_key.polynomial_size
+    rows = glwe_key.encrypt_from_randomness(
+        masks, noises, np.zeros(noises.shape, dtype=dt)
+    )  # [..., l, k+1, k+1, N]
+    if values is None:
+        values = np.array([value], dtype=np.int64)
+        rows = rows[None]
+    shifts = np.array(
+        [bits - base_log * (lev + 1) for lev in range(level_count)], dtype=np.uint64
+    )
+    # summand[b, lev] = value_b << shift_lev  (wrapping)
+    summands = (
+        values.astype(np.uint64)[:, None] << shifts[None, :]
+    ).astype(dt)  # [n_bits, l]
+    for row_idx in range(k + 1):
+        rows[:, :, row_idx, row_idx, 0:1] += summands[:, :, None]
+    return rows
+
+
+@dataclasses.dataclass
+class StandardBootstrapKey:
+    """Coefficient-domain bootstrap key: one GGSW per input key bit.
+
+    data: [n, l, k+1, k+1, N]. Reference: bootstrap/standard/mod.rs:57-210.
+    """
+
+    data: np.ndarray
+    base_log: int
+    level_count: int
+    bits: int
+
+    @classmethod
+    def generate(
+        cls,
+        lwe_key,
+        glwe_key: GlweSecretKey,
+        base_log: int,
+        level_count: int,
+        std: float,
+        gen: EncryptionRandomGenerator,
+    ) -> "StandardBootstrapKey":
+        """fill_with_new_key (standard/mod.rs:172-209): fork the generator per
+        key bit (identical bits to the reference's rayon par_fill), draw all
+        randomness host-side, then assemble every row in one batched NTT."""
+        bits = glwe_key.bits
+        k = glwe_key.dimension
+        n = glwe_key.polynomial_size
+        n_lwe = lwe_key.dimension
+        bit_gens = gen.fork_bsk_to_ggsw(bits, n_lwe, level_count, k + 1, n)
+        masks = np.zeros((n_lwe, level_count, k + 1, k, n), dtype=UNSIGNED[bits])
+        noises = np.zeros((n_lwe, level_count, k + 1, n), dtype=UNSIGNED[bits])
+        for i, g in enumerate(bit_gens):
+            masks[i], noises[i] = _draw_ggsw_randomness(glwe_key, level_count, std, g)
+        data = assemble_ggsw(
+            glwe_key,
+            0,
+            base_log,
+            level_count,
+            masks,
+            noises,
+            values=lwe_key.key.astype(np.int64),
+        )
+        return cls(data=data, base_log=base_log, level_count=level_count, bits=bits)
+
+
+def ggsw_to_ntt(ggsw: np.ndarray, primes: tuple[int, ...], bits: int):
+    """Forward-NTT every polynomial of a GGSW tensor -> [P, ..., N] uint32.
+
+    Torus coefficients are centered (signed) before residue reduction, which
+    halves the CRT bound. Output spectra are in Montgomery form, bit-reversed
+    order — ready for pointwise MACs. Analog of the reference's
+    fill_with_forward_fourier (bootstrap/fourier/mod.rs:186), done as one
+    batched transform over all n*l*(k+1)^2 polynomials.
+    """
+    import jax
+
+    n = ggsw.shape[-1]
+    cc = crt.CrtContext.new(tuple(primes), bits)
+
+    @jax.jit
+    def _convert(g):
+        residues = cc.residues_from_torus(g)
+        spectra = []
+        for pi, p in enumerate(primes):
+            plan = ntt.make_plan(n, p)
+            spectra.append(ntt.forward(plan, residues[pi]))
+        return jnp.stack(spectra, axis=0)
+
+    return _convert(jnp.asarray(ggsw))

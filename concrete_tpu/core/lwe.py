@@ -1,0 +1,216 @@
+"""LWE layer: secret keys, encryption, arithmetic, keyswitching.
+
+Ciphertext layout matches the reference (crypto/lwe/ciphertext.rs:20): a
+ciphertext is a row [a_0..a_{n-1}, b] with the body LAST; batches stack rows
+on leading axes. Client-side ops are numpy (bit-exact under fixed seeds,
+reference: crypto/secret/lwe.rs); server-side ops are jittable jnp functions.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..csprng import EncryptionRandomGenerator, SecretRandomGenerator
+from ..math import decomposition
+from ..torus import UNSIGNED, SIGNED
+
+_JNP_SIGNED = {32: jnp.int32, 64: jnp.int64}
+_JNP_UNSIGNED = {32: jnp.uint32, 64: jnp.uint64}
+
+
+# ---------------------------------------------------------------------------
+# client side (numpy, bit-exact)
+# ---------------------------------------------------------------------------
+
+
+@dataclasses.dataclass
+class LweSecretKey:
+    """An LWE secret key: [n] unsigned array of key coefficients.
+
+    Reference: crypto/secret/lwe.rs:30 (LweSecretKey<Kind, Cont>).
+    """
+
+    key: np.ndarray  # [n], dtype uint32/uint64
+    kind: str  # binary | ternary | gaussian | uniform
+    bits: int
+
+    @property
+    def dimension(self) -> int:
+        return self.key.shape[0]
+
+    @classmethod
+    def generate_binary(cls, dim: int, gen: SecretRandomGenerator, bits: int = 32):
+        return cls(gen.generate_binary_array(dim, bits), "binary", bits)
+
+    @classmethod
+    def generate_ternary(cls, dim: int, gen: SecretRandomGenerator, bits: int = 32):
+        return cls(gen.generate_ternary_array(dim, bits), "ternary", bits)
+
+    @classmethod
+    def generate_gaussian(cls, dim: int, gen: SecretRandomGenerator, bits: int = 32):
+        return cls(gen.generate_gaussian_array(dim, bits), "gaussian", bits)
+
+    @classmethod
+    def generate_uniform(cls, dim: int, gen: SecretRandomGenerator, bits: int = 32):
+        return cls(gen.generate_uniform_array(dim, bits), "uniform", bits)
+
+    def encrypt(
+        self,
+        plaintexts: np.ndarray,
+        std: float,
+        gen: EncryptionRandomGenerator,
+    ) -> np.ndarray:
+        """Encrypt a batch of plaintexts -> [..., n+1].
+
+        b = sum a_i s_i + e + m with uniform mask a and gaussian e
+        (secret/lwe.rs:320-346). Stream consumption per ciphertext: n mask
+        values then one noise draw, identical to encrypt_lwe_list looping.
+        """
+        dt = UNSIGNED[self.bits]
+        pts = np.asarray(plaintexts, dtype=dt)
+        shape = pts.shape
+        count = int(np.prod(shape, dtype=np.int64)) if shape else 1
+        masks = gen.fill_mask(count * self.dimension, self.bits).reshape(
+            count, self.dimension
+        )
+        # one gaussian pair per ciphertext, first element kept (gaussian.rs:71-79);
+        # batching the draws consumes the identical attempt stream.
+        from ..torus import from_torus_f64
+
+        g1, _ = gen.noise.random_gaussian_pairs(count, 0.0, std)
+        noises = from_torus_f64(g1, self.bits)
+        bodies = (
+            (masks * self.key[None, :]).sum(axis=1, dtype=dt)
+            + noises
+            + pts.reshape(count)
+        )
+        out = np.concatenate([masks, bodies[:, None]], axis=1)
+        return out.reshape(shape + (self.dimension + 1,))
+
+    def decrypt(self, ct: np.ndarray) -> np.ndarray:
+        """b - sum a_i s_i (secret/lwe.rs:420)."""
+        dt = UNSIGNED[self.bits]
+        ct = np.asarray(ct, dtype=dt)
+        return ct[..., -1] - (ct[..., :-1] * self.key).sum(axis=-1, dtype=dt)
+
+
+# ---------------------------------------------------------------------------
+# server side (jnp, jittable, batch-first)
+# ---------------------------------------------------------------------------
+
+
+def add(ct_a, ct_b):
+    """Homomorphic addition (wrapping)."""
+    return ct_a + ct_b
+
+
+def sub(ct_a, ct_b):
+    return ct_a - ct_b
+
+
+def neg(ct):
+    """Opposite: every coefficient negated (lwe/ciphertext.rs ops)."""
+    return jnp.zeros_like(ct) - ct
+
+
+def add_plaintext(ct, pt):
+    """Add a plaintext to the body only."""
+    return ct.at[..., -1].add(jnp.asarray(pt, dtype=ct.dtype))
+
+
+def sub_plaintext(ct, pt):
+    return ct.at[..., -1].add(jnp.zeros_like(ct[..., -1]) - jnp.asarray(pt, dtype=ct.dtype))
+
+
+def scalar_mul(ct, cleartext):
+    """Multiply every coefficient by a small integer cleartext."""
+    return ct * jnp.asarray(cleartext, dtype=ct.dtype)
+
+
+def affine_transform(cts, weights, bias):
+    """Weighted sum of a ciphertext vector + plaintext bias.
+
+    cts: [..., m, n+1]; weights: [m] signed ints; bias: plaintext scalar.
+    Mirrors lwe_ciphertext_vector_discarding_affine_transformation.
+    """
+    w = jnp.asarray(weights, dtype=cts.dtype)
+    out = (cts * w[..., :, None]).sum(axis=-2, dtype=cts.dtype)
+    return add_plaintext(out, bias)
+
+
+# ---------------------------------------------------------------------------
+# keyswitching
+# ---------------------------------------------------------------------------
+
+
+@dataclasses.dataclass
+class LweKeyswitchKey:
+    """Keyswitch key: [n_in, l, n_out+1] LWE rows encrypting s_i * q/B^j.
+
+    Reference: crypto/lwe/keyswitch.rs:36 (layout: per input key bit, `level`
+    ciphertexts of the decomposition ladder, level 1 first).
+    """
+
+    data: np.ndarray  # [n_in, l, n_out + 1]
+    base_log: int
+    level_count: int
+    bits: int
+
+    @classmethod
+    def generate(
+        cls,
+        in_key: LweSecretKey,
+        out_key: LweSecretKey,
+        base_log: int,
+        level_count: int,
+        std: float,
+        gen: EncryptionRandomGenerator,
+    ) -> "LweKeyswitchKey":
+        """fill_with_keyswitch_key (keyswitch.rs:331-385): for each input key
+        coefficient, encrypt the plaintext ladder bit * q/B^level, level=1..l,
+        sequentially with the shared generator (no forking)."""
+        bits = in_key.bits
+        dt = UNSIGNED[bits]
+        n_in, l = in_key.dimension, level_count
+        ladder_shifts = np.array(
+            [bits - base_log * (lev + 1) for lev in range(l)], dtype=np.uint64
+        )
+        messages = (
+            in_key.key.astype(dt)[:, None] << ladder_shifts[None, :].astype(dt)
+        )  # [n_in, l]
+        data = out_key.encrypt(messages, std, gen)
+        return cls(data=data, base_log=base_log, level_count=l, bits=bits)
+
+
+def keyswitch(ksk_data, ct, *, base_log: int, level_count: int):
+    """Switch a batch of ciphertexts to the output key — jittable.
+
+    ct: [..., n_in+1] -> [..., n_out+1]. Algorithm (keyswitch.rs:514-560):
+    output body = input body; for each input mask element, round to the
+    decomposition lattice, small-sign-decompose, and subtract digit *
+    ksk[i, level] rows. The contraction over (n_in, l) runs as a single
+    integer matmul (wrapping two's-complement accumulation == mod q).
+    """
+    bits = jnp.dtype(ct.dtype).itemsize * 8
+    sdt = _JNP_SIGNED[bits]
+    mask = ct[..., :-1]
+    body = ct[..., -1]
+    rounded = decomposition.closest_representable(mask, base_log, level_count)
+    digits = decomposition.small_sign_decompose(rounded, base_log, level_count)
+    # [..., n_in, l] signed -> flatten the contraction axes
+    lead = digits.shape[:-2]
+    flat = digits.reshape(lead + (-1,))
+    n_rows = flat.shape[-1]
+    kflat = jax.lax.bitcast_convert_type(ksk_data, sdt).reshape(n_rows, -1)
+    acc = jax.lax.dot_general(
+        flat,
+        kflat,
+        (((flat.ndim - 1,), (0,)), ((), ())),
+        preferred_element_type=sdt,
+    )
+    out = jax.lax.bitcast_convert_type(jnp.zeros_like(acc) - acc, ct.dtype)
+    return out.at[..., -1].add(body)

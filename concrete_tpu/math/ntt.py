@@ -1,0 +1,141 @@
+"""Exact negacyclic NTT over Z_q[X]/(X^N+1) — THE kernel of the framework.
+
+Replaces the reference's FFTW f64 complex FFT (concrete-core .../math/fft/,
+plan.rs, transform.rs) with an exact number-theoretic transform over one or
+more NTT-friendly primes p < 2^31 (u32 Montgomery lanes), combined by CRT
+(`concrete_tpu.math.crt`). Exactness means external products carry *no* FFT
+rounding noise — cleaner than the reference's f64 path and strictly within the
+NPE noise envelopes used as the conformance oracle.
+
+Layout: a polynomial is the trailing [N] axis; transforms vectorize over any
+leading batch axes. The negacyclic twist (psi^i pre-scale / psi^-i post-scale,
+psi a primitive 2N-th root) is folded into the Montgomery conversions, so
+forward = 1 multiply + log2(N) butterfly stages, inverse likewise with N^{-1}
+folded into the untwist.
+
+The transform is a Stockham-style decimation-in-frequency: natural order in,
+bit-reversed order out; the inverse consumes bit-reversed input, so pointwise
+products never need an explicit bit-reversal pass.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+
+import jax.numpy as jnp
+import numpy as np
+
+from .mod_arith import MontgomeryContext, U32
+
+# NTT-friendly primes < 2^31 with high 2-adicity, largest first.
+# (p - 1) factorizations: 2013265921 = 15*2^27+1, 1811939329 = 27*2^26+1,
+# 2113929217 = 63*2^25+1, 469762049 = 7*2^26+1.
+DEFAULT_PRIMES = (2013265921, 1811939329, 2113929217, 469762049)
+
+
+@dataclasses.dataclass(frozen=True)
+class NttPlan:
+    """Per-(N, p) transform plan: Montgomery context + twiddle tables."""
+
+    n: int
+    ctx: MontgomeryContext
+    twist_fwd: np.ndarray     # [N]  psi^i * R^2 mod p  (to_mont + twist fused)
+    untwist_inv: np.ndarray   # [N]  psi^-i * N^-1 mod p (from_mont + untwist + 1/N fused)
+    w_fwd: tuple              # per stage s: [N >> (s+1)] omega^(j*N/L) * R mod p
+    w_inv: tuple              # per stage s: inverse twiddles, Montgomery form
+
+
+@functools.lru_cache(maxsize=None)
+def make_plan(n: int, p: int) -> NttPlan:
+    ctx = MontgomeryContext.new(p)
+    psi = ctx.root_of_unity(2 * n)
+    psi_inv = pow(psi, -1, p)
+    omega = psi * psi % p
+    omega_inv = pow(omega, -1, p)
+    n_inv = pow(n, -1, p)
+    r = (1 << 32) % p
+    r2 = (1 << 64) % p
+
+    idx = np.arange(n, dtype=object)
+    twist_fwd = np.array(
+        [pow(psi, int(i), p) * r2 % p for i in range(n)], dtype=np.uint32
+    )
+    untwist_inv = np.array(
+        [pow(psi_inv, int(i), p) * n_inv % p for i in range(n)], dtype=np.uint32
+    )
+    del idx
+
+    log2n = n.bit_length() - 1
+    w_fwd, w_inv = [], []
+    for s in range(log2n):
+        L = n >> s
+        m = L // 2
+        wf = pow(omega, n // L, p)
+        wi = pow(omega_inv, n // L, p)
+        w_fwd.append(
+            np.array([pow(wf, j, p) * r % p for j in range(m)], dtype=np.uint32)
+        )
+        w_inv.append(
+            np.array([pow(wi, j, p) * r % p for j in range(m)], dtype=np.uint32)
+        )
+    return NttPlan(
+        n=n,
+        ctx=ctx,
+        twist_fwd=twist_fwd,
+        untwist_inv=untwist_inv,
+        w_fwd=tuple(w_fwd),
+        w_inv=tuple(w_inv),
+    )
+
+
+def forward(plan: NttPlan, x):
+    """Negacyclic forward NTT.
+
+    x: [..., N] uint32 plain residues in [0, p) -> [..., N] Montgomery-form
+    spectrum in bit-reversed order.
+    """
+    n = plan.n
+    ctx = plan.ctx
+    lead = x.shape[:-1]
+    x = ctx.mont_mul(x.astype(U32), jnp.asarray(plan.twist_fwd))
+    log2n = n.bit_length() - 1
+    for s in range(log2n):
+        m = n >> (s + 1)
+        xr = x.reshape(lead + (1 << s, 2 * m))
+        a = xr[..., :m]
+        b = xr[..., m:]
+        lo = ctx.add(a, b)
+        hi = ctx.mont_mul(ctx.sub(a, b), jnp.asarray(plan.w_fwd[s]))
+        x = jnp.stack([lo, hi], axis=-2).reshape(lead + (n,))
+    return x
+
+
+def inverse(plan: NttPlan, x):
+    """Negacyclic inverse NTT.
+
+    x: [..., N] Montgomery spectrum (bit-reversed) -> [..., N] plain residues.
+    """
+    n = plan.n
+    ctx = plan.ctx
+    lead = x.shape[:-1]
+    log2n = n.bit_length() - 1
+    for s in reversed(range(log2n)):
+        m = n >> (s + 1)
+        xr = x.reshape(lead + (1 << s, 2, m))
+        u = xr[..., 0, :]
+        v = ctx.mont_mul(xr[..., 1, :], jnp.asarray(plan.w_inv[s]))
+        a = ctx.add(u, v)
+        b = ctx.sub(u, v)
+        x = jnp.concatenate([a, b], axis=-1).reshape(lead + (n,))
+    return ctx.mont_mul(x, jnp.asarray(plan.untwist_inv))
+
+
+def pointwise_mul(plan: NttPlan, a, b):
+    """Pointwise Montgomery product of two spectra."""
+    return plan.ctx.mont_mul(a, b)
+
+
+def negacyclic_polymul_mod_p(plan: NttPlan, a, b):
+    """Exact a*b mod (X^N+1, p) for residue inputs — reference/test helper."""
+    return inverse(plan, pointwise_mul(plan, forward(plan, a), forward(plan, b)))

@@ -1,0 +1,94 @@
+"""Negacyclic polynomial operations on the torus (mod X^N + 1, mod 2^bits).
+
+Monomial rotations mirror the reference's
+update_with_wrapping_monic_monomial_mul / _unit_monomial_div
+(math/polynomial/polynomial.rs:685-744): rotating wraps coefficients around
+with a sign flip. Degrees may be traced per-batch values (each lane of a
+batched blind rotation rotates by its own amount), implemented as a branchless
+gather over the 2N-periodic index space.
+
+Exact wrapping products against small (binary/ternary) polynomials go through
+the prime NTT + CRT (used by host-side GLWE encryption).
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+import numpy as np
+
+from . import crt, ntt
+
+
+def negacyclic_monomial_mul(poly, degree):
+    """poly * X^degree mod (X^N+1), wrapping coefficients with sign flip.
+
+    poly: [..., N] unsigned torus; degree: int or [...] integer array
+    (interpreted mod 2N). Matches polynomial.rs:685-707.
+    """
+    n = poly.shape[-1]
+    degree = jnp.asarray(degree, dtype=jnp.int32) % (2 * n)
+    lead = jnp.broadcast_shapes(poly.shape[:-1], degree.shape)
+    j = jnp.arange(n, dtype=jnp.int32)
+    src = (j - jnp.broadcast_to(degree, lead)[..., None]) % (2 * n)  # [lead..., N]
+    vals = jnp.take_along_axis(
+        jnp.broadcast_to(poly, lead + (n,)), src % n, axis=-1
+    )
+    zero = np.array(0, dtype=poly.dtype)
+    return jnp.where(src < n, vals, zero - vals)
+
+
+def negacyclic_monomial_div(poly, degree):
+    """poly * X^{-degree} mod (X^N+1) (polynomial.rs:709-744)."""
+    n = poly.shape[-1]
+    degree = jnp.asarray(degree, dtype=jnp.int32) % (2 * n)
+    return negacyclic_monomial_mul(poly, 2 * n - degree)
+
+
+def polymul_wrapping_naive(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """Schoolbook negacyclic product mod 2^bits — numpy test oracle
+    (polynomial.rs:271 fill_with_wrapping_mul)."""
+    n = a.shape[-1]
+    out = np.zeros_like(a)
+    for i in range(n):
+        for j in range(n):
+            d = i + j
+            if d < n:
+                out[..., d] += a[..., i] * b[..., j]
+            else:
+                out[..., d - n] -= a[..., i] * b[..., j]
+    return out
+
+
+def multisum_negacyclic(torus_polys, small_polys, bits: int):
+    """sum_j torus_polys[..., j, :] * small_polys[j, :] mod (X^N+1, 2^bits).
+
+    torus_polys: [..., k, N] unsigned torus; small_polys: [k, N] small
+    *unsigned* values (e.g. binary key bits, magnitude <= small_max). Exact
+    wrapping result via prime NTT + CRT. Used by GLWE encryption's
+    update_with_wrapping_add_multisum (secret/glwe.rs:488-545).
+    """
+    k, n = small_polys.shape[-2], small_polys.shape[-1]
+    bound = k * n * 1 * (1 << (bits - 1))  # binary/ternary keys: |coef| <= 1
+    primes = crt.select_primes(bound)
+    cc = crt.CrtContext.new(primes, bits)
+    t_res = cc.residues_from_torus(torus_polys)   # list of [..., k, N] u32
+    sp = jnp.asarray(small_polys)
+    if sp.dtype in (jnp.dtype(jnp.uint32), jnp.dtype(jnp.uint64)):
+        # wrapped-unsigned small values (e.g. ternary -1 stored as q-1)
+        import jax
+
+        sp = jax.lax.bitcast_convert_type(
+            sp, jnp.int32 if sp.dtype == jnp.dtype(jnp.uint32) else jnp.int64
+        )
+    s_res = cc.residues_from_signed(sp)
+    out_res = []
+    for pi, p in enumerate(primes):
+        plan = ntt.make_plan(n, p)
+        ts = ntt.forward(plan, t_res[pi])
+        ss = ntt.forward(plan, s_res[pi])
+        prod = plan.ctx.mont_mul(ts, ss)  # [..., k, N]
+        acc = prod[..., 0, :]
+        for j in range(1, k):
+            acc = plan.ctx.add(acc, prod[..., j, :])
+        out_res.append(ntt.inverse(plan, acc))
+    return cc.combine_to_torus(out_res)
