@@ -1,0 +1,81 @@
+"""Headline benchmark: gate bootstraps (PBS + keyswitch) per second per chip.
+
+Runs the batched boolean-gate pipeline at TFHE_LIB_PARAMETERS (n=630, k=1,
+N=1024 — the "N=1024 TFHE default params" of BASELINE.md) on the available
+accelerator and prints ONE JSON line.
+
+vs_baseline compares against the reference's published CPU number: 18.0 ms
+per gate at TFHE_LIB_PARAMETERS (concrete-boolean/docs/user/error.md:23)
+= 55.56 gates/s on a 2.6 GHz i7 core.
+
+Key material is synthetic (key-shaped tensors) — throughput is identical to
+real keys; correctness is covered by tests/.
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+
+def main():
+    batch_env = os.environ.get("BENCH_BATCHES", "256,1024,4096")
+    import jax
+    import jax.numpy as jnp
+
+    from concrete_tpu.core import bootstrap as bs
+    from concrete_tpu.params import TFHE_LIB_PARAMETERS
+
+    cfg = bs.ServerConfig.from_boolean_parameters(TFHE_LIB_PARAMETERS)
+    rng = np.random.default_rng(0)
+    n, l, ks1, N = cfg.lwe_dimension, cfg.pbs_level, cfg.glwe_size, cfg.polynomial_size
+    bsk = jnp.asarray(
+        np.stack(
+            [rng.integers(0, p, size=(n, l, ks1, ks1, N), dtype=np.uint32) for p in cfg.primes]
+        )
+    )
+    ksk = jnp.asarray(
+        rng.integers(0, 1 << 32, size=(cfg.big_lwe_dimension, cfg.ks_level, n + 1), dtype=np.uint32)
+    )
+    lut = bs.trivial_lut_constant(cfg, np.uint32(1 << 29))
+
+    fn = jax.jit(lambda b, k, c: bs.bootstrap_keyswitch(cfg, b, k, lut, c))
+
+    best = 0.0
+    best_batch = 0
+    for batch in [int(x) for x in batch_env.split(",")]:
+        lin = jnp.asarray(rng.integers(0, 1 << 32, size=(batch, n + 1), dtype=np.uint32))
+        try:
+            out = fn(bsk, ksk, lin)
+            out.block_until_ready()  # warmup + compile
+            reps = 3
+            t0 = time.perf_counter()
+            for _ in range(reps):
+                out = fn(bsk, ksk, lin)
+            out.block_until_ready()
+            dt = (time.perf_counter() - t0) / reps
+        except Exception as e:  # noqa: BLE001 — skip OOM batch points
+            print(f"batch {batch} failed: {e}", file=sys.stderr)
+            continue
+        rate = batch / dt
+        print(f"batch {batch}: {dt*1e3:.1f} ms -> {rate:.1f} gates/s", file=sys.stderr)
+        if rate > best:
+            best, best_batch = rate, batch
+
+    baseline = 1000.0 / 18.0  # reference: 18.0 ms/gate single CPU core
+    print(
+        json.dumps(
+            {
+                "metric": "gate_bootstraps_per_s_per_chip_n1024",
+                "value": round(best, 2),
+                "unit": "gates/s",
+                "vs_baseline": round(best / baseline, 2),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

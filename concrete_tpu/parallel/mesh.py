@@ -1,0 +1,165 @@
+"""Sharded gate-bootstrap pipelines (shard_map over a Mesh).
+
+dp shards the ciphertext batch (embarrassingly parallel — no collectives,
+keys replicated per device). dp+tp additionally splits the per-CMux work:
+each tp shard holds a slice of the bootstrap key's decomposition levels and a
+slice of the keyswitch key's input dimension; partial NTT-domain accumulators
+and partial keyswitch sums are combined with psum over ICI.
+
+Residue psum: mod-p partial sums are carried in u64 (exact for any realistic
+tp degree) and reduced mod p after the collective.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, PartitionSpec as P
+from jax.experimental.shard_map import shard_map
+
+from ..core import bootstrap as bs
+from ..core import lwe as lwe_ops
+from ..math import decomposition, ntt, polynomial
+
+
+def make_mesh(dp: int, tp: int = 1, devices=None) -> Mesh:
+    devices = devices if devices is not None else jax.devices()
+    assert len(devices) >= dp * tp, (len(devices), dp, tp)
+    arr = np.array(devices[: dp * tp]).reshape(dp, tp)
+    return Mesh(arr, axis_names=("dp", "tp"))
+
+
+# ---------------------------------------------------------------------------
+# dp-only: batch sharding, keys replicated
+# ---------------------------------------------------------------------------
+
+
+def gate_pipeline_dp(cfg: bs.ServerConfig, mesh: Mesh):
+    """jit(shard_map(PBS+keyswitch)) with the batch on the dp axis."""
+
+    def run(bsk_ntt, ksk, lut, lin):
+        return bs.bootstrap_keyswitch(cfg, bsk_ntt, ksk, lut, lin)
+
+    sharded = shard_map(
+        run,
+        mesh=mesh,
+        in_specs=(P(), P(), P(), P(("dp", "tp"))),
+        out_specs=P(("dp", "tp")),
+        check_rep=False,
+    )
+    return jax.jit(sharded)
+
+
+# ---------------------------------------------------------------------------
+# dp + tp: levels/contraction sharded, psum over tp
+# ---------------------------------------------------------------------------
+
+
+def _psum_mod_p(x_u32, p: int, axis: str):
+    """Exact mod-p sum across an axis: widen to u64, psum, reduce."""
+    wide = jax.lax.psum(x_u32.astype(jnp.uint64), axis)
+    return (wide % np.uint64(p)).astype(jnp.uint32)
+
+
+def _external_product_tp(cfg: bs.ServerConfig, ggsw_levels, glwe, axis: str, tp: int):
+    """External product with the level axis sharded over `axis`.
+
+    ggsw_levels: [P, l/tp, k+1, k+1, N] local shard; glwe replicated in the
+    tp group. Each shard MACs its levels; partial accumulators are psummed
+    mod p before the inverse NTT.
+    """
+    l_local = ggsw_levels.shape[1]
+    tp_idx = jax.lax.axis_index(axis)
+    rounded = decomposition.closest_representable(glwe, cfg.pbs_base_log, cfg.pbs_level)
+    digits = decomposition.decompose_levels(rounded, cfg.pbs_base_log, cfg.pbs_level)
+    digits = jnp.moveaxis(digits, -1, -3)  # [..., l, k+1, N]
+    # slice my levels: levels are contiguous chunks of l/tp
+    my = jax.lax.dynamic_slice_in_dim(digits, tp_idx * l_local, l_local, axis=-3)
+    cc = cfg.crt_context
+    out_res = []
+    for pi, p in enumerate(cfg.primes):
+        plan = cfg.plan(p)
+        dres = jnp.where(my < 0, my + np.int32(p), my).astype(jnp.uint32)
+        dspec = ntt.forward(plan, dres)
+        acc = None
+        for lev in range(l_local):
+            for i in range(cfg.glwe_size):
+                prod = plan.ctx.mont_mul(
+                    dspec[..., lev, i, :][..., None, :], ggsw_levels[pi, lev, i]
+                )
+                acc = prod if acc is None else plan.ctx.add(acc, prod)
+        acc = _psum_mod_p(acc, p, axis)
+        out_res.append(ntt.inverse(plan, acc))
+    return cc.combine_to_torus(out_res)
+
+
+def _keyswitch_tp(cfg: bs.ServerConfig, ksk_shard, big_ct, axis: str, tp: int):
+    """Keyswitch with the input-key contraction sharded over `axis`.
+
+    ksk_shard: [n_in/tp, l, n_out+1]; big_ct replicated. Each shard switches
+    its slice of the mask; partials combine with a wrapping psum (mod-q sums
+    commute with the collective)."""
+    n_local = ksk_shard.shape[0]
+    tp_idx = jax.lax.axis_index(axis)
+    mask = big_ct[..., :-1]
+    body = big_ct[..., -1]
+    my_mask = jax.lax.dynamic_slice_in_dim(mask, tp_idx * n_local, n_local, axis=-1)
+    rounded = decomposition.closest_representable(my_mask, cfg.ks_base_log, cfg.ks_level)
+    digits = decomposition.small_sign_decompose(rounded, cfg.ks_base_log, cfg.ks_level)
+    lead = digits.shape[:-2]
+    flat = digits.reshape(lead + (-1,))
+    sdt = jnp.int32 if cfg.bits == 32 else jnp.int64
+    kflat = jax.lax.bitcast_convert_type(ksk_shard, sdt).reshape(flat.shape[-1], -1)
+    partial = jax.lax.dot_general(
+        flat, kflat, (((flat.ndim - 1,), (0,)), ((), ())), preferred_element_type=sdt
+    )
+    # wrapping (mod q) sum across tp: psum on the signed ints wraps identically
+    total = jax.lax.psum(partial, axis)
+    out = jax.lax.bitcast_convert_type(jnp.zeros_like(total) - total, big_ct.dtype)
+    return out.at[..., -1].add(body)
+
+
+def gate_pipeline_dp_tp(cfg: bs.ServerConfig, mesh: Mesh):
+    """Full gate pipeline with batch on dp and level/contraction on tp.
+
+    bsk_ntt sharded on the level axis (axis 2 of [P, n, l, k+1, k+1, N]);
+    ksk sharded on the input-key axis (axis 0); ciphertexts on the batch.
+    Requires pbs_level % tp == 0 and big_lwe_dimension % tp == 0.
+    """
+    tp = mesh.shape["tp"]
+    assert cfg.pbs_level % tp == 0, (cfg.pbs_level, tp)
+    assert cfg.big_lwe_dimension % tp == 0
+
+    def run(bsk_shard, ksk_shard, lut, lin):
+        n_poly = cfg.polynomial_size
+        body = lin[..., -1]
+        b_hat = bs.pbs_modulus_switch(body, n_poly)
+        acc = polynomial.negacyclic_monomial_div(lut, b_hat[..., None])
+
+        def step(i, acc):
+            a_i = jax.lax.dynamic_index_in_dim(lin, i, axis=-1, keepdims=False)
+            a_hat = bs.pbs_modulus_switch(a_i, n_poly)
+            rotated = polynomial.negacyclic_monomial_mul(acc, a_hat[..., None])
+            ggsw_i = jax.lax.dynamic_index_in_dim(bsk_shard, i, axis=1, keepdims=False)
+            return acc + _external_product_tp(cfg, ggsw_i, rotated - acc, "tp", tp)
+
+        acc = jax.lax.fori_loop(0, cfg.lwe_dimension, step, acc)
+        big = bs.sample_extract(acc)
+        return _keyswitch_tp(cfg, ksk_shard, big, "tp", tp)
+
+    sharded = shard_map(
+        run,
+        mesh=mesh,
+        in_specs=(
+            P(None, None, "tp"),  # bsk levels
+            P("tp"),              # ksk input-key rows
+            P(),                  # lut replicated
+            P("dp"),              # ciphertext batch
+        ),
+        out_specs=P("dp"),
+        check_rep=False,
+    )
+    return jax.jit(sharded)

@@ -1,14 +1,19 @@
 """Test configuration: run on a virtual 8-device CPU mesh.
 
 Multi-chip hardware is not available in CI; sharding tests use XLA's host
-platform with 8 virtual devices. Must run before jax initializes a backend.
+platform with 8 virtual devices. The ambient environment may pre-register a
+remote accelerator platform and pin `jax_platforms` at interpreter start
+(sitecustomize), so we override the *config var*, not just the env var —
+must run before jax initializes a backend.
 """
 
 import os
 
-# Force CPU: the ambient environment may preset JAX_PLATFORMS to a remote TPU
-# platform, which would route every eager op through the device tunnel.
-os.environ["JAX_PLATFORMS"] = "cpu"
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (_flags + " --xla_force_host_platform_device_count=8").strip()
+os.environ["JAX_PLATFORMS"] = "cpu"
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
