@@ -33,9 +33,10 @@ def main():
     n, l, ks1, N = cfg.lwe_dimension, cfg.pbs_level, cfg.glwe_size, cfg.polynomial_size
     bsk = jnp.asarray(
         np.stack(
-            [rng.integers(0, p, size=(n, l, ks1, ks1, N), dtype=np.uint32) for p in cfg.primes]
+            [rng.integers(0, p, size=(n, l, ks1, ks1, N), dtype=np.uint32) for p in cfg.primes],
+            axis=1,
         )
-    )
+    )  # [n, P, l, k+1, k+1, N]
     ksk = jnp.asarray(
         rng.integers(0, 1 << 32, size=(cfg.big_lwe_dimension, cfg.ks_level, n + 1), dtype=np.uint32)
     )

@@ -24,7 +24,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..core import bootstrap as bs
-from ..core.ggsw import StandardBootstrapKey, ggsw_to_ntt
+from ..core.ggsw import StandardBootstrapKey, bsk_to_ntt
 from ..core.lwe import LweKeyswitchKey
 from ..csprng import EncryptionRandomGenerator
 from .client_key import ClientKey, PLAINTEXT_LOG_SCALING_FACTOR, PLAINTEXT_TRUE
@@ -39,7 +39,7 @@ _NEG_QUARTER = np.uint32((-(1 << (32 - PLAINTEXT_LOG_SCALING_FACTOR + 1))) % (1 
 class ServerKey:
     """NTT-domain bootstrap key + keyswitch key + static config."""
 
-    bsk_ntt: jax.Array  # [P, n, l, k+1, k+1, N] uint32 Montgomery spectra
+    bsk_ntt: jax.Array  # [n, P, l, k+1, k+1, N] uint32 Montgomery spectra
     ksk: jax.Array      # [kN, l_ks, n+1] uint32
     cfg: bs.ServerConfig
     bsk_standard: np.ndarray | None = None  # kept for serialization/tests
@@ -64,7 +64,7 @@ class ServerKey:
             p.glwe_modular_std_dev.std_dev,
             gen,
         )
-        bsk_ntt = ggsw_to_ntt(std_bsk.data, cfg.primes, cfg.bits)
+        bsk_ntt = bsk_to_ntt(std_bsk.data, cfg.primes, cfg.bits)
         big_key = cks.glwe_secret_key.into_lwe_key()
         ksk = LweKeyswitchKey.generate(
             big_key,

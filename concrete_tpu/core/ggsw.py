@@ -171,3 +171,13 @@ def ggsw_to_ntt(ggsw: np.ndarray, primes: tuple[int, ...], bits: int):
         return jnp.stack(spectra, axis=0)
 
     return _convert(jnp.asarray(ggsw))
+
+
+def bsk_to_ntt(bsk_data: np.ndarray, primes: tuple[int, ...], bits: int):
+    """NTT-transform a full bootstrap key -> [n, P, l, k+1, k+1, N].
+
+    The CMux-chain axis n is LEADING so the blind rotation's per-iteration
+    dynamic slice is a contiguous HBM read (see core/bootstrap.py).
+    """
+    spectra = ggsw_to_ntt(bsk_data, primes, bits)  # [P, n, l, k+1, k+1, N]
+    return jnp.moveaxis(spectra, 1, 0)

@@ -1,0 +1,237 @@
+"""High-level key types: secret keys, bootstrapping and keyswitching keys.
+
+Mirrors concrete/src/{lwe_secretkey,rlwe_secretkey,lwe_bsk,lwe_ksk}.rs, on
+the u64 torus. LWEBSK carries both the coefficient-domain GGSW tensor (for
+serialization parity) and the device-resident NTT spectra used by PBS.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import numpy as np
+
+from ..core import bootstrap as bs
+from ..core.ggsw import StandardBootstrapKey, bsk_to_ntt
+from ..core.glwe import GlweSecretKey
+from ..core.lwe import LweKeyswitchKey, LweSecretKey
+from ..csprng import EncryptionRandomGenerator, SecretRandomGenerator
+from ..params import log2_exact
+from .encoder import BITS
+from .params_presets import LWEParams, RLWEParams
+
+
+@dataclasses.dataclass
+class LWESecretKey:
+    """u64 binary LWE secret key + its noise parameter (lwe_secretkey.rs)."""
+
+    inner: LweSecretKey
+    std_dev: float
+
+    @classmethod
+    def new(cls, params: LWEParams, *, secret_seed: int | None = None):
+        gen = SecretRandomGenerator(secret_seed)
+        return cls(
+            LweSecretKey.generate_binary(params.dimension, gen, bits=BITS),
+            params.std_dev,
+        )
+
+    @property
+    def dimension(self) -> int:
+        return self.inner.dimension
+
+    @property
+    def variance(self) -> float:
+        return self.std_dev ** 2
+
+    def save(self, path: str):
+        np.savez(path, key=self.inner.key, std_dev=self.std_dev, kind=self.inner.kind)
+
+    @classmethod
+    def load(cls, path: str) -> "LWESecretKey":
+        d = np.load(path, allow_pickle=False)
+        return cls(
+            LweSecretKey(d["key"], str(d["kind"]), BITS), float(d["std_dev"])
+        )
+
+
+@dataclasses.dataclass
+class RLWESecretKey:
+    """u64 binary GLWE secret key (rlwe_secretkey.rs)."""
+
+    inner: GlweSecretKey
+    std_dev: float
+
+    @classmethod
+    def new(cls, params: RLWEParams, *, secret_seed: int | None = None):
+        gen = SecretRandomGenerator(secret_seed)
+        return cls(
+            GlweSecretKey.generate_binary(
+                params.dimension, params.polynomial_size, gen, bits=BITS
+            ),
+            params.std_dev,
+        )
+
+    @property
+    def dimension(self) -> int:
+        return self.inner.dimension
+
+    @property
+    def polynomial_size(self) -> int:
+        return self.inner.polynomial_size
+
+    @property
+    def variance(self) -> float:
+        return self.std_dev ** 2
+
+    def to_lwe_secret_key(self) -> LWESecretKey:
+        """Flatten to the big LWE key (lwe_secretkey from rlwe)."""
+        return LWESecretKey(self.inner.into_lwe_key(), self.std_dev)
+
+
+@dataclasses.dataclass
+class LWEBSK:
+    """Bootstrapping key (lwe_bsk.rs:20): GGSW of the input key bits under
+    the RLWE key, plus its NTT-domain form and the static server config."""
+
+    cfg: bs.ServerConfig
+    bsk_ntt: object            # [n, P, l, k+1, k+1, N] device array
+    variance: float
+    coefficient_bsk: np.ndarray | None = None  # standard domain, for save/load
+
+    @classmethod
+    def new(
+        cls,
+        sk_input: LWESecretKey,
+        sk_output: RLWESecretKey,
+        base_log: int,
+        level: int,
+        *,
+        mask_seed: int | None = None,
+        noise_seed: int | None = None,
+        keep_coefficient_bsk: bool = True,
+    ) -> "LWEBSK":
+        cfg = bs.ServerConfig(
+            lwe_dimension=sk_input.dimension,
+            glwe_dimension=sk_output.dimension,
+            polynomial_size=sk_output.polynomial_size,
+            pbs_base_log=base_log,
+            pbs_level=level,
+            ks_base_log=1,
+            ks_level=1,
+            bits=BITS,
+        )
+        gen = EncryptionRandomGenerator(mask_seed, noise_seed)
+        std_bsk = StandardBootstrapKey.generate(
+            sk_input.inner, sk_output.inner, base_log, level, sk_output.std_dev, gen
+        )
+        return cls(
+            cfg=cfg,
+            bsk_ntt=bsk_to_ntt(std_bsk.data, cfg.primes, BITS),
+            variance=sk_output.variance,
+            coefficient_bsk=std_bsk.data if keep_coefficient_bsk else None,
+        )
+
+    @property
+    def dimension(self) -> int:  # RLWE dimension k
+        return self.cfg.glwe_dimension
+
+    @property
+    def polynomial_size(self) -> int:
+        return self.cfg.polynomial_size
+
+    @property
+    def base_log(self) -> int:
+        return self.cfg.pbs_base_log
+
+    @property
+    def level(self) -> int:
+        return self.cfg.pbs_level
+
+    def get_lwe_dimension(self) -> int:
+        return self.cfg.lwe_dimension
+
+    def get_polynomial_size_log(self) -> int:
+        return log2_exact(self.polynomial_size)
+
+    def save(self, path: str):
+        assert self.coefficient_bsk is not None, "constructed without coefficients"
+        np.savez_compressed(
+            path,
+            bsk=self.coefficient_bsk,
+            variance=self.variance,
+            lwe_dimension=self.cfg.lwe_dimension,
+            base_log=self.cfg.pbs_base_log,
+            level=self.cfg.pbs_level,
+        )
+
+    @classmethod
+    def load(cls, path: str) -> "LWEBSK":
+        d = np.load(path, allow_pickle=False)
+        data = d["bsk"]
+        n, level, glwe_size, _, poly = data.shape
+        cfg = bs.ServerConfig(
+            lwe_dimension=int(d["lwe_dimension"]),
+            glwe_dimension=glwe_size - 1,
+            polynomial_size=poly,
+            pbs_base_log=int(d["base_log"]),
+            pbs_level=int(d["level"]),
+            ks_base_log=1,
+            ks_level=1,
+            bits=BITS,
+        )
+        return cls(
+            cfg=cfg,
+            bsk_ntt=bsk_to_ntt(data, cfg.primes, BITS),
+            variance=float(d["variance"]),
+            coefficient_bsk=data,
+        )
+
+
+@dataclasses.dataclass
+class LWEKSK:
+    """Keyswitching key (lwe_ksk.rs:14)."""
+
+    inner: LweKeyswitchKey
+    variance: float
+
+    @classmethod
+    def new(
+        cls,
+        sk_before: LWESecretKey,
+        sk_after: LWESecretKey,
+        base_log: int,
+        level: int,
+        *,
+        mask_seed: int | None = None,
+        noise_seed: int | None = None,
+    ) -> "LWEKSK":
+        gen = EncryptionRandomGenerator(mask_seed, noise_seed)
+        ksk = LweKeyswitchKey.generate(
+            sk_before.inner, sk_after.inner, base_log, level, sk_after.std_dev, gen
+        )
+        return cls(inner=ksk, variance=sk_after.variance)
+
+    @property
+    def base_log(self) -> int:
+        return self.inner.base_log
+
+    @property
+    def level(self) -> int:
+        return self.inner.level_count
+
+    def save(self, path: str):
+        np.savez_compressed(
+            path, data=self.inner.data, base_log=self.inner.base_log,
+            level=self.inner.level_count, variance=self.variance,
+        )
+
+    @classmethod
+    def load(cls, path: str) -> "LWEKSK":
+        d = np.load(path, allow_pickle=False)
+        return cls(
+            inner=LweKeyswitchKey(
+                d["data"], int(d["base_log"]), int(d["level"]), BITS
+            ),
+            variance=float(d["variance"]),
+        )

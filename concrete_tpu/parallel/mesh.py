@@ -125,7 +125,7 @@ def _keyswitch_tp(cfg: bs.ServerConfig, ksk_shard, big_ct, axis: str, tp: int):
 def gate_pipeline_dp_tp(cfg: bs.ServerConfig, mesh: Mesh):
     """Full gate pipeline with batch on dp and level/contraction on tp.
 
-    bsk_ntt sharded on the level axis (axis 2 of [P, n, l, k+1, k+1, N]);
+    bsk_ntt sharded on the level axis (axis 2 of [n, P, l, k+1, k+1, N]);
     ksk sharded on the input-key axis (axis 0); ciphertexts on the batch.
     Requires pbs_level % tp == 0 and big_lwe_dimension % tp == 0.
     """
@@ -138,15 +138,14 @@ def gate_pipeline_dp_tp(cfg: bs.ServerConfig, mesh: Mesh):
         body = lin[..., -1]
         b_hat = bs.pbs_modulus_switch(body, n_poly)
         acc = polynomial.negacyclic_monomial_div(lut, b_hat[..., None])
+        a_hats = jnp.moveaxis(bs.pbs_modulus_switch(lin[..., :-1], n_poly), -1, 0)
 
-        def step(i, acc):
-            a_i = jax.lax.dynamic_index_in_dim(lin, i, axis=-1, keepdims=False)
-            a_hat = bs.pbs_modulus_switch(a_i, n_poly)
+        def step(acc, xs):
+            ggsw_i, a_hat = xs
             rotated = polynomial.negacyclic_monomial_mul(acc, a_hat[..., None])
-            ggsw_i = jax.lax.dynamic_index_in_dim(bsk_shard, i, axis=1, keepdims=False)
-            return acc + _external_product_tp(cfg, ggsw_i, rotated - acc, "tp", tp)
+            return acc + _external_product_tp(cfg, ggsw_i, rotated - acc, "tp", tp), None
 
-        acc = jax.lax.fori_loop(0, cfg.lwe_dimension, step, acc)
+        acc, _ = jax.lax.scan(step, acc, (bsk_shard, a_hats))
         big = bs.sample_extract(acc)
         return _keyswitch_tp(cfg, ksk_shard, big, "tp", tp)
 
