@@ -116,9 +116,10 @@ class Encoder:
         res = from_torus_f64((m - self.o) / self.delta, BITS)
         if self.round:
             vec = np.vectorize(
-                lambda x: _closest_representable_scalar(int(x), self.nb_bit_precision)
+                lambda x: _closest_representable_scalar(int(x), self.nb_bit_precision),
+                otypes=[np.uint64],
             )
-            res = vec(res).astype(DTYPE)
+            res = vec(res)
         if self.nb_bit_padding > 0:
             res = res >> DTYPE(self.nb_bit_padding)
         return res
@@ -134,9 +135,10 @@ class Encoder:
             vec = np.vectorize(
                 lambda x: _closest_representable_scalar(
                     int(x), self.nb_bit_precision + self.nb_bit_padding
-                )
+                ),
+                otypes=[np.uint64],
             )
-            tmp = vec(tmp).astype(DTYPE)
+            tmp = vec(tmp)
         if self.nb_bit_padding > 0:
             tmp = tmp << DTYPE(self.nb_bit_padding)
         # round to the message lattice when in the security margin
@@ -147,9 +149,10 @@ class Encoder:
         vec = np.vectorize(
             lambda x: _closest_representable_scalar(int(x), self.nb_bit_precision)
             if x > int(margin_start)
-            else int(x)
+            else int(x),
+            otypes=[np.uint64],
         )
-        tmp = vec(tmp).astype(DTYPE)
+        tmp = vec(tmp)
         return into_torus_f64(tmp, BITS) * self.delta + self.o
 
     # -- dynamic precision -----------------------------------------------------

@@ -234,9 +234,10 @@ class LWE:
         """Multiply by small integers, same encoder (lwe/mod.rs:1214)."""
         out = self.copy()
         c = np.asarray(constants, dtype=np.int64)
-        # b -= (c - 1) * encode(0): keep the offset consistent
-        zero_pt = self.encoder.encode_outside_interval(np.float64(self.encoder.o))
-        out.data = (self.data.astype(np.int64) * c[..., None]).astype(DTYPE)
+        # b -= (c - 1) * encode(0): keeps the interval offset consistent
+        # (lwe/mod.rs:1214 mul_constant_static_encoder)
+        zero_pt = self.encoder.encode_outside_interval(np.float64(0.0))
+        out.data = (self.data * c.astype(np.uint64)[..., None]).astype(DTYPE)
         out.data[..., -1] -= ((c - 1).astype(np.uint64) * zero_pt).astype(DTYPE)
         out.variance = npe.estimate_integer_plaintext_multiplication_noise(
             Variance(self.variance), int(np.max(np.abs(c)))

@@ -165,8 +165,8 @@ class VectorRLWE:
         out = self.copy()
         c = np.broadcast_to(np.asarray(messages, dtype=np.int64), (self.nb_ciphertexts,))
         for i, enc in enumerate(self.encoders):
-            zero_pt = enc.encode_outside_interval(np.float64(enc.o))
-            out.data[i] = (self.data[i].astype(np.int64) * int(c[i])).astype(DTYPE)
+            zero_pt = enc.encode_outside_interval(np.float64(0.0))
+            out.data[i] = (self.data[i] * DTYPE(int(c[i]) % (1 << BITS))).astype(DTYPE)
             out.data[i, -1, :] -= DTYPE((int(c[i]) - 1) % (1 << BITS)) * np.full(
                 self.polynomial_size, zero_pt, dtype=DTYPE
             )
