@@ -1,0 +1,58 @@
+"""Encrypted boolean circuits built from gates — the workload layer.
+
+The canonical benchmark circuit is the 8-bit ripple-carry adder
+(BASELINE.md config 5): per bit position a full adder of
+    axb = a XOR b;  sum = axb XOR c;  c' = MUX(axb, c, a)
+costs 2 bootstrapped gates + 1 MUX (2 PBS). All gate evaluations are batched:
+adding two vectors of m integers costs the same number of *sequential* PBS
+chains as adding one, with m riding the batch axis.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax.numpy as jnp
+
+from .server_key import ServerKey
+
+
+def ripple_carry_adder(sks: ServerKey, a_bits, b_bits, carry_in=None):
+    """Add two little-endian encrypted bit arrays.
+
+    a_bits, b_bits: [nbits, ..., n+1] ciphertext arrays (bit 0 = LSB).
+    Returns (sum_bits [nbits, ..., n+1], carry_out [..., n+1]).
+    """
+    a_bits = jnp.asarray(a_bits)
+    b_bits = jnp.asarray(b_bits)
+    nbits = a_bits.shape[0]
+    carry = carry_in
+    sums = []
+    for i in range(nbits):
+        a, b = a_bits[i], b_bits[i]
+        axb = sks.xor(a, b)
+        if carry is None:
+            s = axb
+            carry = sks.and_(a, b)
+        else:
+            s = sks.xor(axb, carry)
+            carry = sks.mux(axb, carry, a)
+        sums.append(s)
+    return jnp.stack(sums, axis=0), carry
+
+
+def encrypt_uint(cks, values, nbits: int, **seeds):
+    """Encrypt unsigned integers as little-endian bit vectors
+    -> [nbits, batch, n+1]."""
+    values = np.atleast_1d(np.asarray(values, dtype=np.uint64))
+    bits = ((values[None, :] >> np.arange(nbits, dtype=np.uint64)[:, None]) & 1).astype(bool)
+    return np.stack([cks.encrypt(bits[i], **seeds) for i in range(nbits)])
+
+
+def decrypt_uint(cks, bit_cts) -> np.ndarray:
+    """Decrypt [nbits, batch, n+1] little-endian bit vectors to integers."""
+    bit_cts = np.asarray(bit_cts)
+    nbits = bit_cts.shape[0]
+    vals = np.zeros(bit_cts.shape[1:-1], dtype=np.uint64)
+    for i in range(nbits):
+        vals |= cks.decrypt(bit_cts[i]).astype(np.uint64) << np.uint64(i)
+    return vals

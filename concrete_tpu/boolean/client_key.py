@@ -59,6 +59,57 @@ class ClientKey:
         phase = self.lwe_secret_key.decrypt(np.asarray(ciphertexts, dtype=np.uint32))
         return phase < np.uint32(1 << 31)
 
+    def save(self, path: str):
+        """Serialize (serde analog; keys are Serialize in the reference,
+        client_key/mod.rs derives)."""
+        np.savez_compressed(
+            path,
+            lwe_key=self.lwe_secret_key.key,
+            glwe_key=self.glwe_secret_key.key,
+            params=np.array(
+                [
+                    self.parameters.lwe_dimension,
+                    self.parameters.glwe_dimension,
+                    self.parameters.polynomial_size,
+                    self.parameters.pbs_base_log,
+                    self.parameters.pbs_level,
+                    self.parameters.ks_base_log,
+                    self.parameters.ks_level,
+                ]
+            ),
+            stds=np.array(
+                [
+                    self.parameters.lwe_modular_std_dev.std_dev,
+                    self.parameters.glwe_modular_std_dev.std_dev,
+                ]
+            ),
+        )
+
+    @classmethod
+    def load(cls, path: str) -> "ClientKey":
+        from ..dispersion import StandardDev
+        from ..core.lwe import LweSecretKey
+        from ..core.glwe import GlweSecretKey
+
+        d = np.load(path, allow_pickle=False)
+        p = d["params"]
+        params = BooleanParameters(
+            lwe_dimension=int(p[0]),
+            glwe_dimension=int(p[1]),
+            polynomial_size=int(p[2]),
+            lwe_modular_std_dev=StandardDev(float(d["stds"][0])),
+            glwe_modular_std_dev=StandardDev(float(d["stds"][1])),
+            pbs_base_log=int(p[3]),
+            pbs_level=int(p[4]),
+            ks_base_log=int(p[5]),
+            ks_level=int(p[6]),
+        )
+        return cls(
+            lwe_secret_key=LweSecretKey(d["lwe_key"], "binary", 32),
+            glwe_secret_key=GlweSecretKey(d["glwe_key"], "binary", 32),
+            parameters=params,
+        )
+
     def decrypt_big_key(self, ciphertexts) -> np.ndarray:
         """Decrypt ciphertexts under the flattened GLWE ("big") key —
         useful for inspecting pre-keyswitch PBS outputs."""

@@ -81,6 +81,44 @@ class ServerKey:
             bsk_standard=std_bsk.data if keep_standard_bsk else None,
         )
 
+    def save(self, path: str):
+        """Serialize from the coefficient-domain BSK (requires
+        keep_standard_bsk=True at construction)."""
+        assert self.bsk_standard is not None, "constructed without standard BSK"
+        np.savez_compressed(
+            path,
+            bsk=self.bsk_standard,
+            ksk=np.asarray(self.ksk),
+            lwe_dimension=self.cfg.lwe_dimension,
+            glwe_dimension=self.cfg.glwe_dimension,
+            polynomial_size=self.cfg.polynomial_size,
+            pbs_base_log=self.cfg.pbs_base_log,
+            pbs_level=self.cfg.pbs_level,
+            ks_base_log=self.cfg.ks_base_log,
+            ks_level=self.cfg.ks_level,
+        )
+
+    @classmethod
+    def load(cls, path: str) -> "ServerKey":
+        from ..core.ggsw import bsk_to_ntt
+
+        d = np.load(path, allow_pickle=False)
+        cfg = bs.ServerConfig(
+            lwe_dimension=int(d["lwe_dimension"]),
+            glwe_dimension=int(d["glwe_dimension"]),
+            polynomial_size=int(d["polynomial_size"]),
+            pbs_base_log=int(d["pbs_base_log"]),
+            pbs_level=int(d["pbs_level"]),
+            ks_base_log=int(d["ks_base_log"]),
+            ks_level=int(d["ks_level"]),
+        )
+        return cls(
+            bsk_ntt=bsk_to_ntt(d["bsk"], cfg.primes, cfg.bits),
+            ksk=jnp.asarray(d["ksk"]),
+            cfg=cfg,
+            bsk_standard=d["bsk"],
+        )
+
     # -- gates -------------------------------------------------------------
 
     def _pipeline(self):

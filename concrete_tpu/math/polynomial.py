@@ -19,22 +19,44 @@ import numpy as np
 from . import crt, ntt
 
 
+def _negacyclic_static_roll(poly, shift: int):
+    """poly * X^shift for a STATIC shift in [0, N): rotate right, wrapped
+    coefficients negated. Compiles to slices+concat (cheap on TPU)."""
+    n = poly.shape[-1]
+    shift = shift % (2 * n)
+    neg = shift >= n
+    shift = shift % n
+    zero = np.array(0, dtype=poly.dtype)
+    if shift:
+        top = poly[..., n - shift :]
+        rest = poly[..., : n - shift]
+        out = jnp.concatenate([zero - top, rest], axis=-1)
+    else:
+        out = poly
+    return (zero - out) if neg else out
+
+
 def negacyclic_monomial_mul(poly, degree):
     """poly * X^degree mod (X^N+1), wrapping coefficients with sign flip.
 
     poly: [..., N] unsigned torus; degree: int or [...] integer array
     (interpreted mod 2N). Matches polynomial.rs:685-707.
+
+    Implemented as a branchless barrel rotation — log2(2N) static rolls
+    gated by the degree bits. A take_along_axis gather measured ~7 ms per
+    blind-rotate step on TPU; the barrel form is pure shifts/selects.
     """
     n = poly.shape[-1]
     degree = jnp.asarray(degree, dtype=jnp.int32) % (2 * n)
     lead = jnp.broadcast_shapes(poly.shape[:-1], degree.shape)
-    j = jnp.arange(n, dtype=jnp.int32)
-    src = (j - jnp.broadcast_to(degree, lead)[..., None]) % (2 * n)  # [lead..., N]
-    vals = jnp.take_along_axis(
-        jnp.broadcast_to(poly, lead + (n,)), src % n, axis=-1
-    )
-    zero = np.array(0, dtype=poly.dtype)
-    return jnp.where(src < n, vals, zero - vals)
+    x = jnp.broadcast_to(poly, lead + (n,))
+    degree = jnp.broadcast_to(degree, lead)[..., None]
+    nbits = (2 * n - 1).bit_length()
+    for j in range(nbits):
+        bit = (degree >> j) & 1
+        rolled = _negacyclic_static_roll(x, 1 << j)
+        x = jnp.where(bit == 1, rolled, x)
+    return x
 
 
 def negacyclic_monomial_div(poly, degree):
