@@ -1,0 +1,122 @@
+"""Per-operation benchmark suite — the criterion-harness analog.
+
+Mirrors concrete-benchmark/src/generics/: every engine-level operation timed
+over a parameter grid, batched (the TPU unit of work is a ciphertext batch,
+not a single ciphertext). Emits one JSON line per (op, params, batch) to
+stdout; human-readable table to stderr.
+
+Usage: python benchmarks/suite.py [--ops op1,op2] [--batch 1024] [--quick]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def _timeit(fn, *args, reps=3):
+    import jax
+
+    out = fn(*args)
+    jax.block_until_ready(out)
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        out = fn(*args)
+    jax.block_until_ready(out)
+    return (time.perf_counter() - t0) / reps
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--ops", default="")
+    ap.add_argument("--batch", type=int, default=1024)
+    ap.add_argument("--quick", action="store_true")
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    from concrete_tpu.core import bootstrap as bs
+    from concrete_tpu.core import lwe as lwe_ops
+    from concrete_tpu.math import ntt
+    from concrete_tpu.params import DEFAULT_PARAMETERS, TFHE_LIB_PARAMETERS
+
+    rng = np.random.default_rng(0)
+    B = args.batch
+    results = []
+
+    def record(op, params_name, dt, unit_count):
+        rec = {
+            "op": op,
+            "params": params_name,
+            "batch": B,
+            "ms": round(dt * 1e3, 3),
+            "per_s": round(unit_count / dt, 1),
+        }
+        results.append(rec)
+        print(json.dumps(rec))
+        print(f"{op:40s} {params_name:12s} {dt*1e3:10.2f} ms {unit_count/dt:14.1f}/s", file=sys.stderr)
+
+    param_sets = {"default": DEFAULT_PARAMETERS, "tfhe_lib": TFHE_LIB_PARAMETERS}
+    if args.quick:
+        param_sets = {"default": DEFAULT_PARAMETERS}
+    want = set(args.ops.split(",")) if args.ops else None
+
+    for pname, params in param_sets.items():
+        cfg = bs.ServerConfig.from_boolean_parameters(params)
+        n, N = cfg.lwe_dimension, cfg.polynomial_size
+        l, ks1 = cfg.pbs_level, cfg.glwe_size
+        bsk = jnp.asarray(np.stack(
+            [rng.integers(0, p, size=(n, l, ks1, ks1, N), dtype=np.uint32) for p in cfg.primes],
+            axis=1))
+        ksk = jnp.asarray(rng.integers(
+            0, 1 << 32, size=(cfg.big_lwe_dimension, cfg.ks_level, n + 1), dtype=np.uint32))
+        cts = jnp.asarray(rng.integers(0, 1 << 32, size=(B, n + 1), dtype=np.uint32))
+        big = jnp.asarray(rng.integers(0, 1 << 32, size=(B, cfg.big_lwe_dimension + 1), dtype=np.uint32))
+        glwe = jnp.asarray(rng.integers(0, 1 << 32, size=(B, ks1, N), dtype=np.uint32))
+        lut = bs.trivial_lut_constant(cfg, np.uint32(1 << 29))
+
+        def run(op, fn, *a, unit=B):
+            if want and op not in want:
+                return
+            record(op, pname, _timeit(jax.jit(fn), *a), unit)
+
+        run("lwe_add", lambda a, b: a + b, cts, cts)
+        run("lwe_neg", lambda a: jnp.zeros_like(a) - a, cts)
+        run("lwe_scalar_mul", lambda a: a * np.uint32(3), cts)
+        run(
+            "keyswitch",
+            lambda k, c: lwe_ops.keyswitch(k, c, base_log=cfg.ks_base_log, level_count=cfg.ks_level),
+            ksk, big,
+        )
+        run(
+            "external_product",
+            lambda bk, g: bs.external_product(cfg, bk[0], g),
+            bsk, glwe,
+        )
+        run("sample_extract", bs.sample_extract, glwe)
+        run(
+            "ntt_forward",
+            lambda x: ntt.forward(cfg.plan(cfg.primes[0]), x % np.uint32(cfg.primes[0])),
+            glwe,
+        )
+        run(
+            "pbs",
+            lambda bk, c: bs.bootstrap(cfg, bk, lut, c),
+            bsk, cts,
+        )
+        run(
+            "gate_bootstrap (pbs+ks)",
+            lambda bk, k, c: bs.bootstrap_keyswitch(cfg, bk, k, lut, c),
+            bsk, ksk, cts,
+        )
+
+    return results
+
+
+if __name__ == "__main__":
+    main()

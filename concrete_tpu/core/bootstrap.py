@@ -94,32 +94,47 @@ class ServerConfig:
 # ---------------------------------------------------------------------------
 
 
-def external_product(cfg: ServerConfig, ggsw_ntt, glwe):
-    """<decomp(glwe), GGSW> added to nothing — returns the product GLWE.
+def _external_product_stacked(cfg: ServerConfig, sp, ggsw_ntt, glwe_pbn):
+    """Stacked-prime external product in poly-major layout.
 
-    ggsw_ntt: [P, l, k+1, k+1, N] Montgomery spectra; glwe: [..., k+1, N]
-    torus. Exact: no FFT rounding term (fourier/mod.rs:463-645 analog).
+    ggsw_ntt: [P, l, k+1, k+1, N] Montgomery spectra; glwe_pbn: [k+1, B, N]
+    torus (batch in the LANE-friendly middle axis). Returns [k+1, B, N].
+    All P primes ride one tensor (ntt.StackedNttPlans); exact — no FFT
+    rounding term (fourier/mod.rs:463-645 analog).
     """
-    rounded = decomposition.closest_representable(glwe, cfg.pbs_base_log, cfg.pbs_level)
+    rounded = decomposition.closest_representable(
+        glwe_pbn, cfg.pbs_base_log, cfg.pbs_level
+    )
     digits = decomposition.decompose_levels(rounded, cfg.pbs_base_log, cfg.pbs_level)
-    # [..., k+1, N, l] -> [..., l, k+1, N]
-    digits = jnp.moveaxis(digits, -1, -3)
-    cc = cfg.crt_context
-    out_res = []
-    for pi, p in enumerate(cfg.primes):
-        plan = cfg.plan(p)
-        # small-signed -> residue without 64-bit ops: |digit| <= B/2 << p
-        dres = jnp.where(digits < 0, digits + np.int32(p), digits).astype(jnp.uint32)
-        dspec = ntt.forward(plan, dres)  # [..., l, k+1, N] mont
-        acc = None
-        for lev in range(cfg.pbs_level):
-            for i in range(cfg.glwe_size):
-                d = dspec[..., lev, i, :]
-                g = ggsw_ntt[pi, lev, i]  # [k+1, N]
-                prod = plan.ctx.mont_mul(d[..., None, :], g)
-                acc = prod if acc is None else plan.ctx.add(acc, prod)
-        out_res.append(ntt.inverse(plan, acc))
-    return cc.combine_to_torus(out_res)
+    digits = jnp.moveaxis(digits, -1, 0)  # [l, k+1, B, N] signed
+    # residues for all primes at once: |digit| <= B/2 << p
+    p_bc = jnp.asarray(sp.p.astype(np.int32)).reshape((-1,) + (1,) * digits.ndim)
+    dres = jnp.where(digits[None] < 0, digits[None] + p_bc, digits[None]).astype(
+        jnp.uint32
+    )  # [P, l, k+1, B, N]
+    dspec = ntt.forward_stacked(sp, dres)
+    acc = None
+    for lev in range(cfg.pbs_level):
+        for i in range(cfg.glwe_size):
+            d = dspec[:, lev, i]                 # [P, B, N]
+            g = ggsw_ntt[:, lev, i]              # [P, k+1, N]
+            prod = sp.mont_mul(d[:, None], g[:, :, None, :])  # [P, k+1, B, N]
+            acc = prod if acc is None else sp.add(acc, prod)
+    residues = ntt.inverse_stacked(sp, acc)      # [P, k+1, B, N]
+    return cfg.crt_context.combine_to_torus(
+        [residues[pi] for pi in range(len(cfg.primes))]
+    )
+
+
+def external_product(cfg: ServerConfig, ggsw_ntt, glwe):
+    """<decomp(glwe), GGSW> — public [..., k+1, N] layout wrapper."""
+    sp = ntt.make_stacked_plans(cfg.polynomial_size, cfg.primes)
+    lead = glwe.shape[:-2]
+    ks1, n = glwe.shape[-2:]
+    flat = glwe.reshape((-1, ks1, n))
+    pbn = jnp.moveaxis(flat, 1, 0)  # [k+1, B, N]
+    out = _external_product_stacked(cfg, sp, ggsw_ntt, pbn)
+    return jnp.moveaxis(out, 0, 1).reshape(lead + (ks1, n))
 
 
 def cmux(cfg: ServerConfig, ggsw_ntt, ct0, ct1):
@@ -162,23 +177,33 @@ def blind_rotate(cfg: ServerConfig, bsk_ntt, lut, lwe):
     (fourier/mod.rs:666-726).
     """
     n_poly = cfg.polynomial_size
-    body = lwe[..., -1]
-    b_hat = pbs_modulus_switch(body, n_poly)
-    acc = polynomial.negacyclic_monomial_div(lut, b_hat[..., None])
+    sp = ntt.make_stacked_plans(cfg.polynomial_size, cfg.primes)
+    lead = lwe.shape[:-1]
+    lwe_flat = lwe.reshape((-1, lwe.shape[-1]))  # [B, n+1]
+    body = lwe_flat[..., -1]
+    b_hat = pbs_modulus_switch(body, n_poly)  # [B]
+    # accumulator in poly-major layout [k+1, B, N]: lanes stay the wide N
+    # axis, sublanes the batch — no tiny-dimension tile padding in the loop
+    lut_b = jnp.broadcast_to(
+        lut.reshape((-1,) + lut.shape[-2:]) if lut.ndim > 2 else lut[None],
+        (lwe_flat.shape[0],) + lut.shape[-2:],
+    )
+    acc = jnp.moveaxis(lut_b, 1, 0)  # [k+1, B, N]
+    acc = polynomial.negacyclic_monomial_div(acc, b_hat[None, :])
     # modulus-switch every mask element up front (one vectorized op)
-    a_hats = pbs_modulus_switch(lwe[..., :-1], n_poly)  # [..., n]
-    a_hats = jnp.moveaxis(a_hats, -1, 0)  # scan axis leading
+    a_hats = jnp.moveaxis(pbs_modulus_switch(lwe_flat[..., :-1], n_poly), -1, 0)  # [n, B]
 
     def step(acc, xs):
-        ggsw_i, a_hat = xs
-        rotated = polynomial.negacyclic_monomial_mul(acc, a_hat[..., None])
-        return cmux(cfg, ggsw_i, acc, rotated), None
+        ggsw_i, a_hat = xs  # [P, l, k+1, k+1, N], [B]
+        rotated = polynomial.negacyclic_monomial_mul(acc, a_hat[None, :])
+        diff = rotated - acc
+        return acc + _external_product_stacked(cfg, sp, ggsw_i, diff), None
 
     # lax.scan (not fori_loop): the bootstrap key streams through the loop as
     # a scanned input, which XLA pipelines as contiguous per-slice HBM reads;
     # an indexed fori_loop measured ~400x slower on TPU.
     acc, _ = jax.lax.scan(step, acc, (bsk_ntt, a_hats))
-    return acc
+    return jnp.moveaxis(acc, 0, 1).reshape(lead + acc.shape[:1] + acc.shape[2:])
 
 
 def sample_extract(glwe):

@@ -1,0 +1,203 @@
+"""Backend-conformance fixtures — the concrete-core-fixture analog.
+
+The reference's flagship test layer (concrete-core-fixture/src/fixture/mod.rs)
+runs each operation through: parameters -> repetitions (fresh keys) ->
+samples (fresh ciphertexts) -> execute -> compute NPE criteria -> statistical
+verify. We reproduce that protocol; "backends" here are the host numpy
+reference semantics vs the jitted device path, sharing one suite.
+
+Every noisy op is verified against the NPE oracle with the same statistical
+machinery the reference uses (KS test + sigma bounds,
+raw/statistical_test.rs:14-93).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from . import npe
+from .core import bootstrap as bs
+from .core import lwe as lwe_mod
+from .core import glwe as glwe_mod
+from .core.ggsw import StandardBootstrapKey, bsk_to_ntt
+from .csprng import EncryptionRandomGenerator, SecretRandomGenerator
+from .dispersion import StandardDev, Variance
+from .testing import assert_noise_bounded, assert_noise_distribution
+
+
+@dataclasses.dataclass
+class FixtureReport:
+    name: str
+    parameters: dict
+    repetitions: int
+    sample_size: int
+    passed: bool
+    detail: str = ""
+
+
+class Fixture:
+    """Protocol: stress() runs REPETITIONS x (keys -> SAMPLE_SIZE samples ->
+    execute -> verify against criteria) per parameter set
+    (fixture/mod.rs:122-203)."""
+
+    name = "fixture"
+    PARAMETERS: list = []
+    REPETITIONS = 2
+    SAMPLE_SIZE = 200
+
+    def run_one(self, params: dict, rep_seed: int):
+        raise NotImplementedError
+
+    def stress(self, repetitions=None, sample_size=None) -> list:
+        reps = repetitions or self.REPETITIONS
+        if sample_size:
+            self.SAMPLE_SIZE = sample_size
+        reports = []
+        for params in self.PARAMETERS:
+            ok, detail = True, ""
+            for rep in range(reps):
+                try:
+                    self.run_one(params, rep_seed=1000 * rep + 7)
+                except AssertionError as e:
+                    ok, detail = False, str(e)
+                    break
+            reports.append(
+                FixtureReport(self.name, params, reps, self.SAMPLE_SIZE, ok, detail)
+            )
+        return reports
+
+
+class LweEncryptDecryptFixture(Fixture):
+    """Fresh-encryption noise matches the configured gaussian (KS test)."""
+
+    name = "lwe_encrypt_decrypt"
+    PARAMETERS = [
+        {"dim": 128, "log_std": -15, "bits": 32},
+        {"dim": 128, "log_std": -25, "bits": 64},
+    ]
+
+    def run_one(self, params, rep_seed):
+        bits = params["bits"]
+        sk = lwe_mod.LweSecretKey.generate_binary(
+            params["dim"], SecretRandomGenerator(rep_seed), bits
+        )
+        gen = EncryptionRandomGenerator(rep_seed + 1, rep_seed + 2)
+        std = StandardDev(2.0 ** params["log_std"])
+        rng = np.random.default_rng(rep_seed)
+        pts = rng.integers(0, 1 << 32, size=self.SAMPLE_SIZE, dtype=np.uint32).astype(
+            np.uint64 if bits == 64 else np.uint32
+        )
+        cts = sk.encrypt(pts, std.std_dev, gen)
+        dec = sk.decrypt(cts)
+        assert_noise_distribution(dec, pts, std, bits, seed=rep_seed * 31 + 1)
+
+
+class LweKeyswitchFixture(Fixture):
+    """Keyswitch noise <= NPE prediction
+    (fixture analog: lwe_ciphertext_discarding_keyswitch)."""
+
+    name = "lwe_keyswitch"
+    PARAMETERS = [
+        {"n_in": 64, "n_out": 32, "base_log": 4, "levels": 5, "bits": 32},
+        {"n_in": 64, "n_out": 32, "base_log": 2, "levels": 8, "bits": 32},
+    ]
+
+    def run_one(self, params, rep_seed):
+        bits = params["bits"]
+        sgen = SecretRandomGenerator(rep_seed)
+        in_key = lwe_mod.LweSecretKey.generate_binary(params["n_in"], sgen, bits)
+        out_key = lwe_mod.LweSecretKey.generate_binary(params["n_out"], sgen, bits)
+        gen = EncryptionRandomGenerator(rep_seed + 1, rep_seed + 2)
+        ks_std = StandardDev(2.0 ** -20)
+        ct_std = StandardDev(2.0 ** -18)
+        ksk = lwe_mod.LweKeyswitchKey.generate(
+            in_key, out_key, params["base_log"], params["levels"], ks_std.std_dev, gen
+        )
+        rng = np.random.default_rng(rep_seed)
+        pts = rng.integers(0, 1 << 32, size=self.SAMPLE_SIZE, dtype=np.uint32)
+        cts = in_key.encrypt(pts, ct_std.std_dev, gen)
+        out = np.array(
+            jax.jit(
+                lambda c: lwe_mod.keyswitch(
+                    jnp.asarray(ksk.data),
+                    c,
+                    base_log=params["base_log"],
+                    level_count=params["levels"],
+                )
+            )(jnp.asarray(cts))
+        )
+        dec = out_key.decrypt(out)
+        predicted = npe.estimate_keyswitch_noise_with_constant_terms(
+            params["n_in"], ct_std, ks_std, params["base_log"], params["levels"], bits
+        )
+        assert_noise_bounded(dec, pts, predicted, bits, slack_bits=0.75)
+
+
+class PbsFixture(Fixture):
+    """PBS output noise <= NPE prediction
+    (fixture/lwe_ciphertext_discarding_bootstrap_1.rs:254-274 analog)."""
+
+    name = "pbs"
+    PARAMETERS = [
+        {"n": 16, "k": 1, "N": 128, "base_log": 8, "levels": 2},
+        {"n": 12, "k": 2, "N": 64, "base_log": 6, "levels": 3},
+    ]
+    SAMPLE_SIZE = 64
+
+    def run_one(self, params, rep_seed):
+        from .params import BooleanParameters
+
+        p = BooleanParameters(
+            lwe_dimension=params["n"],
+            glwe_dimension=params["k"],
+            polynomial_size=params["N"],
+            lwe_modular_std_dev=StandardDev(2.0 ** -20),
+            glwe_modular_std_dev=StandardDev(2.0 ** -25),
+            pbs_base_log=params["base_log"],
+            pbs_level=params["levels"],
+            ks_base_log=2,
+            ks_level=5,
+        )
+        cfg = bs.ServerConfig.from_boolean_parameters(p)
+        sgen = SecretRandomGenerator(rep_seed)
+        lwe_sk = lwe_mod.LweSecretKey.generate_binary(p.lwe_dimension, sgen)
+        glwe_sk = glwe_mod.GlweSecretKey.generate_binary(
+            p.glwe_dimension, p.polynomial_size, sgen
+        )
+        gen = EncryptionRandomGenerator(rep_seed + 1, rep_seed + 2)
+        bsk = StandardBootstrapKey.generate(
+            lwe_sk, glwe_sk, p.pbs_base_log, p.pbs_level,
+            p.glwe_modular_std_dev.std_dev, gen,
+        )
+        bsk_ntt = bsk_to_ntt(bsk.data, cfg.primes, 32)
+        eighth = np.uint32(1 << 29)
+        neg_eighth = np.uint32((-(1 << 29)) % (1 << 32))
+        rng = np.random.default_rng(rep_seed)
+        signs = rng.integers(0, 2, size=self.SAMPLE_SIZE).astype(bool)
+        msgs = np.where(signs, eighth, neg_eighth)
+        cts = lwe_sk.encrypt(msgs, p.lwe_modular_std_dev.std_dev, gen)
+        lut = bs.trivial_lut_constant(cfg, eighth)
+        out = np.array(
+            jax.jit(lambda b, c: bs.bootstrap(cfg, b, lut, c))(bsk_ntt, jnp.asarray(cts))
+        )
+        dec = glwe_sk.into_lwe_key().decrypt(out)
+        expected = np.where(signs, eighth, neg_eighth)
+        predicted = npe.estimate_pbs_noise(
+            p.lwe_dimension, p.polynomial_size, p.glwe_dimension,
+            p.pbs_base_log, p.pbs_level, p.glwe_modular_std_dev, 32,
+        )
+        assert_noise_bounded(dec, expected, predicted, 32, slack_bits=0.75)
+
+
+ALL_FIXTURES = [LweEncryptDecryptFixture, LweKeyswitchFixture, PbsFixture]
+
+
+def run_all(repetitions=None, sample_size=None) -> list:
+    reports = []
+    for fx_cls in ALL_FIXTURES:
+        reports.extend(fx_cls().stress(repetitions, sample_size))
+    return reports

@@ -117,32 +117,42 @@ class CrtContext:
     # -- reconstruction -------------------------------------------------------
 
     def combine_to_torus(self, residues: list):
-        """Garner-reconstruct the signed value mod 2^bits.
+        """Garner-reconstruct the signed value mod 2^bits — u32-first.
 
         residues: list of P uint32 arrays (plain, NOT Montgomery) -> torus
-        uint32/uint64 array.
+        uint32/uint64 array. The Garner digit recurrences run entirely in
+        u32 Montgomery lanes (a u64 `%`-based version measured 4.2 ms per
+        blind-rotate step on TPU); only the final digit-weighted sum widens
+        to u64 when bits == 64.
         """
+        from .mod_arith import MontgomeryContext
+
         k = len(self.primes)
-        xs = [residues[0].astype(U64)]
+        xs = [residues[0]]  # mixed-radix digits, u32, x_i < p_i
         for i in range(1, k):
-            pi = np.uint64(self.primes[i])
-            t = xs[0] % pi
-            for j in range(1, i):
-                t = (t + np.uint64(self.prefix_mod_pi[i][j]) * (xs[j] % pi)) % pi
-            ri = residues[i].astype(U64)
-            diff = (ri + pi - t % pi) % pi
-            xs.append(diff * np.uint64(self.garner_inv[i]) % pi)
-        # v mod 2^bits (wrapping u64 arithmetic)
-        v = jnp.zeros_like(xs[0])
-        for i in range(k):
-            v = v + np.uint64(self.prefix_mod_q[i]) * xs[i]
+            ctx = MontgomeryContext.new(self.primes[i])
+            r = (1 << 32) % self.primes[i]
+            # t = sum_j prefix_j * x_j mod p_i (Montgomery constants fold R)
+            t = None
+            for j in range(i):
+                cj = np.uint32(self.prefix_mod_pi[i][j] * r % self.primes[i])
+                term = ctx.mont_mul(xs[j], jnp.full((), cj, jnp.uint32))
+                t = term if t is None else ctx.add(t, term)
+            diff = ctx.sub(residues[i], t)
+            ci = np.uint32(self.garner_inv[i] * r % self.primes[i])
+            xs.append(ctx.mont_mul(diff, jnp.full((), ci, jnp.uint32)))
         # v >= ceil(M/2)? lexicographic compare of mixed-radix digits,
-        # folded from the least significant digit up.
-        ge = xs[0] >= np.uint64(self.half_digits[0])
+        # folded from the least significant digit up (pure u32 compares).
+        ge = xs[0] >= np.uint32(self.half_digits[0])
         for i in range(1, k):
-            ti = np.uint64(self.half_digits[i])
+            ti = np.uint32(self.half_digits[i])
             ge = (xs[i] > ti) | ((xs[i] == ti) & ge)
-        v = v - jnp.where(ge, np.uint64(self.m_mod_q), np.uint64(0))
         if self.bits == 32:
-            return (v & np.uint64(0xFFFFFFFF)).astype(jnp.uint32)
-        return v
+            v = jnp.zeros_like(xs[0])
+            for i in range(k):
+                v = v + np.uint32(self.prefix_mod_q[i] & 0xFFFFFFFF) * xs[i]
+            return v - jnp.where(ge, np.uint32(self.m_mod_q & 0xFFFFFFFF), np.uint32(0))
+        v = jnp.zeros(xs[0].shape, dtype=U64)
+        for i in range(k):
+            v = v + np.uint64(self.prefix_mod_q[i]) * xs[i].astype(U64)
+        return v - jnp.where(ge, np.uint64(self.m_mod_q), np.uint64(0))

@@ -89,6 +89,104 @@ def make_plan(n: int, p: int) -> NttPlan:
     )
 
 
+@dataclasses.dataclass(frozen=True)
+class StackedNttPlans:
+    """All CRT primes processed in ONE tensor: every per-prime constant is a
+    [P]-leading array broadcast against [P, ..., N] data. Halves (or better)
+    the kernel count vs looping primes in python."""
+
+    n: int
+    primes: tuple
+    p: np.ndarray            # [P] uint32
+    n_prime: np.ndarray      # [P] uint32  (-p^-1 mod 2^32)
+    twist_fwd: np.ndarray    # [P, N]
+    untwist_inv: np.ndarray  # [P, N]
+    w_fwd: tuple             # per stage: [P, m]
+    w_inv: tuple
+
+    def _bc(self, arr, x, extra=1):
+        """Reshape a [P, ...] constant to broadcast against x = [P, ..., N]."""
+        a = jnp.asarray(arr)
+        return a.reshape(a.shape[:1] + (1,) * (x.ndim - a.ndim) + a.shape[1:])
+
+    # -- stacked Montgomery ops -----------------------------------------
+
+    def mont_mul(self, x, y):
+        from .mod_arith import mul32_hilo
+
+        p = self._bc(self.p, x)
+        npr = self._bc(self.n_prime, x)
+        hi, lo = mul32_hilo(x, y)
+        m = lo * npr
+        mhi, _ = mul32_hilo(m, p)
+        t = hi + mhi + (lo != 0).astype(U32)
+        return jnp.where(t >= p, t - p, t)
+
+    def add(self, x, y):
+        p = self._bc(self.p, x)
+        s = x + y
+        return jnp.where(s >= p, s - p, s)
+
+    def sub(self, x, y):
+        p = self._bc(self.p, x)
+        return jnp.where(x >= y, x - y, x + (p - y))
+
+
+@functools.lru_cache(maxsize=None)
+def make_stacked_plans(n: int, primes: tuple) -> StackedNttPlans:
+    plans = [make_plan(n, p) for p in primes]
+    return StackedNttPlans(
+        n=n,
+        primes=primes,
+        p=np.array(primes, dtype=np.uint32),
+        n_prime=np.array([pl.ctx.n_prime for pl in plans], dtype=np.uint32),
+        twist_fwd=np.stack([pl.twist_fwd for pl in plans]),
+        untwist_inv=np.stack([pl.untwist_inv for pl in plans]),
+        w_fwd=tuple(
+            np.stack([pl.w_fwd[s] for pl in plans]) for s in range(len(plans[0].w_fwd))
+        ),
+        w_inv=tuple(
+            np.stack([pl.w_inv[s] for pl in plans]) for s in range(len(plans[0].w_inv))
+        ),
+    )
+
+
+def forward_stacked(sp: StackedNttPlans, x):
+    """Stacked negacyclic forward NTT: x [P, ..., N] plain residues ->
+    Montgomery spectra, bit-reversed, all primes in one pass."""
+    n = sp.n
+    lead = x.shape[:-1]
+    x = sp.mont_mul(x.astype(U32), sp._bc(sp.twist_fwd, x))
+    log2n = n.bit_length() - 1
+    for s in range(log2n):
+        m = n >> (s + 1)
+        xr = x.reshape(lead + (1 << s, 2 * m))
+        a = xr[..., :m]
+        b = xr[..., m:]
+        lo = sp.add(a, b)
+        w = sp._bc(sp.w_fwd[s], xr)
+        hi = sp.mont_mul(sp.sub(a, b), w)
+        x = jnp.stack([lo, hi], axis=-2).reshape(lead + (n,))
+    return x
+
+
+def inverse_stacked(sp: StackedNttPlans, x):
+    """Stacked inverse: [P, ..., N] Montgomery spectra -> plain residues."""
+    n = sp.n
+    lead = x.shape[:-1]
+    log2n = n.bit_length() - 1
+    for s in reversed(range(log2n)):
+        m = n >> (s + 1)
+        xr = x.reshape(lead + (1 << s, 2, m))
+        u = xr[..., 0, :]
+        w = sp._bc(sp.w_inv[s], u)
+        v = sp.mont_mul(xr[..., 1, :], w)
+        a = sp.add(u, v)
+        b = sp.sub(u, v)
+        x = jnp.concatenate([a, b], axis=-1).reshape(lead + (n,))
+    return sp.mont_mul(x, sp._bc(sp.untwist_inv, x))
+
+
 def forward(plan: NttPlan, x):
     """Negacyclic forward NTT.
 

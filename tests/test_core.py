@@ -206,13 +206,13 @@ def test_full_pbs_noise_vs_npe():
     lwe_sk, glwe_sk = _keys(params)
     cfg = bs.ServerConfig.from_boolean_parameters(params)
     gen = EncryptionRandomGenerator(17, 18)
-    from concrete_tpu.core.ggsw import StandardBootstrapKey
+    from concrete_tpu.core.ggsw import StandardBootstrapKey, bsk_to_ntt
 
     bsk_std = params.glwe_modular_std_dev
     bsk = StandardBootstrapKey.generate(
         lwe_sk, glwe_sk, params.pbs_base_log, params.pbs_level, bsk_std.std_dev, gen
     )
-    bsk_ntt = ggsw_to_ntt(bsk.data, cfg.primes, 32)
+    bsk_ntt = bsk_to_ntt(bsk.data, cfg.primes, 32)
 
     # bootstrap a batch of encryptions of +-1/8 with the constant test poly
     eighth = np.uint32(1 << 29)
