@@ -161,14 +161,12 @@ def ggsw_to_ntt(ggsw: np.ndarray, primes: tuple[int, ...], bits: int):
     n = ggsw.shape[-1]
     cc = crt.CrtContext.new(tuple(primes), bits)
 
+    rp = ntt.make_roll_plans(n, tuple(primes))
+
     @jax.jit
     def _convert(g):
         residues = cc.residues_from_torus(g)
-        spectra = []
-        for pi, p in enumerate(primes):
-            plan = ntt.make_plan(n, p)
-            spectra.append(ntt.forward(plan, residues[pi]))
-        return jnp.stack(spectra, axis=0)
+        return ntt.forward_roll(rp, jnp.stack(residues, axis=0))
 
     return _convert(jnp.asarray(ggsw))
 

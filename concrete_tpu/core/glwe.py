@@ -142,3 +142,39 @@ class GlweSecretKey:
         masks = ct[..., :-1, :]
         body = ct[..., -1, :]
         return (body - self._multisum(masks)).astype(UNSIGNED[self.bits])
+
+
+# ---------------------------------------------------------------------------
+# NTT-domain GLWE (FourierGlweCiphertext analog, crypto/glwe/fourier.rs:18)
+# ---------------------------------------------------------------------------
+
+
+def glwe_to_ntt(glwe, primes: tuple, bits: int):
+    """Forward-transform a GLWE tensor -> [P, ..., N] Montgomery spectra.
+
+    Torus coefficients are centered (signed) before residue reduction. The
+    analog of the reference's standard->Fourier GLWE conversion.
+    """
+    import jax
+
+    from ..math import crt as _crt
+    from ..math import ntt as _ntt
+
+    n = glwe.shape[-1]
+    cc = _crt.CrtContext.new(tuple(primes), bits)
+    sp = _ntt.make_roll_plans(n, tuple(primes))
+
+    residues = cc.residues_from_torus(jnp.asarray(glwe))
+    return _ntt.forward_roll(sp, jnp.stack(residues, axis=0))
+
+
+def glwe_from_ntt(spectra, primes: tuple, bits: int):
+    """Inverse of glwe_to_ntt: [P, ..., N] spectra -> torus [..., N]."""
+    from ..math import crt as _crt
+    from ..math import ntt as _ntt
+
+    n = spectra.shape[-1]
+    cc = _crt.CrtContext.new(tuple(primes), bits)
+    sp = _ntt.make_roll_plans(n, tuple(primes))
+    residues = _ntt.inverse_roll(sp, spectra)
+    return cc.combine_to_torus([residues[i] for i in range(len(primes))])

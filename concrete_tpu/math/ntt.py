@@ -132,6 +132,134 @@ class StackedNttPlans:
         return jnp.where(x >= y, x - y, x + (p - y))
 
 
+@dataclasses.dataclass(frozen=True)
+class RollNttPlans:
+    """Roll-based stacked plans: butterflies via circular shifts + selects on
+    a FIXED [..., N] geometry (no reshapes -> no TPU relayouts; the same code
+    runs inside Pallas kernels). Per stage: full-length twiddle vectors with
+    entries at the second-half positions of each block, and a first-half mask.
+    """
+
+    n: int
+    primes: tuple
+    p: np.ndarray
+    n_prime: np.ndarray
+    twist_fwd: np.ndarray     # [P, N]
+    untwist_inv: np.ndarray   # [P, N]
+    w_fwd_full: tuple         # per stage: [P, N] twiddles at 2nd-half slots
+    w_inv_full: tuple
+    masks: tuple              # per stage: [N] bool, True on first half of block
+
+    def _bc(self, arr, x):
+        a = jnp.asarray(arr)
+        return a.reshape(a.shape[:1] + (1,) * (x.ndim - a.ndim) + a.shape[1:])
+
+    def mont_mul(self, x, y):
+        from .mod_arith import mul32_hilo
+
+        p = self._bc(self.p, x)
+        npr = self._bc(self.n_prime, x)
+        hi, lo = mul32_hilo(x, y)
+        m = lo * npr
+        mhi, _ = mul32_hilo(m, p)
+        t = hi + mhi + (lo != 0).astype(U32)
+        return jnp.where(t >= p, t - p, t)
+
+    def add(self, x, y):
+        p = self._bc(self.p, x)
+        s = x + y
+        return jnp.where(s >= p, s - p, s)
+
+    def sub(self, x, y):
+        p = self._bc(self.p, x)
+        return jnp.where(x >= y, x - y, x + (p - y))
+
+
+@functools.lru_cache(maxsize=None)
+def make_roll_plans(n: int, primes: tuple) -> RollNttPlans:
+    plans = [make_plan(n, p) for p in primes]
+    log2n = n.bit_length() - 1
+    w_fwd_full, w_inv_full, masks = [], [], []
+    j = np.arange(n)
+    for s in range(log2n):
+        L = n >> s
+        m = L // 2
+        pos = j % L
+        mask = pos < m
+        wf = np.zeros((len(primes), n), dtype=np.uint32)
+        wi = np.zeros((len(primes), n), dtype=np.uint32)
+        for pi, pl in enumerate(plans):
+            idx = np.where(mask, 0, pos - m)
+            wf[pi] = pl.w_fwd[s][idx]
+            wi[pi] = pl.w_inv[s][idx]
+        w_fwd_full.append(wf)
+        w_inv_full.append(wi)
+        masks.append(mask)
+    return RollNttPlans(
+        n=n,
+        primes=primes,
+        p=np.array(primes, dtype=np.uint32),
+        n_prime=np.array([pl.ctx.n_prime for pl in plans], dtype=np.uint32),
+        twist_fwd=np.stack([pl.twist_fwd for pl in plans]),
+        untwist_inv=np.stack([pl.untwist_inv for pl in plans]),
+        w_fwd_full=tuple(w_fwd_full),
+        w_inv_full=tuple(w_inv_full),
+        masks=tuple(masks),
+    )
+
+
+def forward_roll(rp: RollNttPlans, x):
+    """Roll-based stacked forward negacyclic NTT on [P, ..., N].
+
+    DIF butterfly via two rolls + selects: first-half slots get a+b, second
+    half (a-b)*w, with the sequential permutation identical to
+    forward_stacked (bit-reversed output order).
+    """
+    n = rp.n
+    x = rp.mont_mul(x.astype(U32), rp._bc(rp.twist_fwd, x))
+    log2n = n.bit_length() - 1
+    for s in range(log2n):
+        m = n >> (s + 1)
+        mask = jnp.asarray(rp.masks[s])
+        w = rp._bc(rp.w_fwd_full[s], x)
+        xp = jnp.roll(x, -m, axis=-1)   # x[j+m] at slot j
+        xm = jnp.roll(x, m, axis=-1)    # x[j-m] at slot j
+        lo = rp.add(x, xp)
+        hi = rp.mont_mul(rp.sub(xm, x), w)
+        x = jnp.where(mask, lo, hi)
+    return x  # bit-reversed order; inverse_roll consumes it directly
+
+
+def inverse_roll(rp: RollNttPlans, x):
+    """Inverse of forward_roll: [P, ..., N] spectra -> plain residues."""
+    n = rp.n
+    log2n = n.bit_length() - 1
+    for s in reversed(range(log2n)):
+        m = n >> (s + 1)
+        mask = jnp.asarray(rp.masks[s])
+        w = rp._bc(rp.w_inv_full[s], x)
+        v = rp.mont_mul(x, w)           # valid at second-half slots
+        vp = jnp.roll(v, -m, axis=-1)   # v[j+m] at slot j
+        um = jnp.roll(x, m, axis=-1)    # u[j-m] at slot j
+        x = jnp.where(mask, rp.add(x, vp), rp.sub(um, v))
+    return rp.mont_mul(x, rp._bc(rp.untwist_inv, x))
+
+
+@functools.lru_cache(maxsize=None)
+def _bitrev_indices(n: int):
+    bits = n.bit_length() - 1
+    idx = np.arange(n)
+    rev = np.zeros(n, dtype=np.int32)
+    for b in range(bits):
+        rev |= ((idx >> b) & 1) << (bits - 1 - b)
+    return rev
+
+
+def _bitrev_permute(x, n: int):
+    """Static bit-reversal permutation of the last axis (constant gather)."""
+    return x[..., jnp.asarray(_bitrev_indices(n))]
+
+
 @functools.lru_cache(maxsize=None)
 def make_stacked_plans(n: int, primes: tuple) -> StackedNttPlans:
     plans = [make_plan(n, p) for p in primes]

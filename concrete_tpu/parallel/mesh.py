@@ -79,21 +79,23 @@ def _external_product_tp(cfg: bs.ServerConfig, ggsw_levels, glwe, axis: str, tp:
     # slice my levels: levels are contiguous chunks of l/tp
     my = jax.lax.dynamic_slice_in_dim(digits, tp_idx * l_local, l_local, axis=-3)
     cc = cfg.crt_context
-    out_res = []
-    for pi, p in enumerate(cfg.primes):
-        plan = cfg.plan(p)
-        dres = jnp.where(my < 0, my + np.int32(p), my).astype(jnp.uint32)
-        dspec = ntt.forward(plan, dres)
-        acc = None
-        for lev in range(l_local):
-            for i in range(cfg.glwe_size):
-                prod = plan.ctx.mont_mul(
-                    dspec[..., lev, i, :][..., None, :], ggsw_levels[pi, lev, i]
-                )
-                acc = prod if acc is None else plan.ctx.add(acc, prod)
-        acc = _psum_mod_p(acc, p, axis)
-        out_res.append(ntt.inverse(plan, acc))
-    return cc.combine_to_torus(out_res)
+    rp = ntt.make_roll_plans(cfg.polynomial_size, cfg.primes)
+    p_bc = jnp.asarray(rp.p.astype(np.int32)).reshape((-1,) + (1,) * my.ndim)
+    dres = jnp.where(my[None] < 0, my[None] + p_bc, my[None]).astype(jnp.uint32)
+    dspec = ntt.forward_roll(rp, dres)  # [P, ..., l/tp, k+1, N]
+    acc = None
+    for lev in range(l_local):
+        for i in range(cfg.glwe_size):
+            prod = rp.mont_mul(
+                dspec[..., lev, i, :][:, ..., None, :].swapaxes(0, 0),
+                ggsw_levels[:, lev, i][(slice(None),) + (None,) * (my.ndim - 3) + (slice(None), slice(None))],
+            )
+            acc = prod if acc is None else rp.add(acc, prod)
+    stacked = jnp.stack(
+        [_psum_mod_p(acc[pi], p, axis) for pi, p in enumerate(cfg.primes)], axis=0
+    )
+    residues = ntt.inverse_roll(rp, stacked)
+    return cc.combine_to_torus([residues[pi] for pi in range(len(cfg.primes))])
 
 
 def _keyswitch_tp(cfg: bs.ServerConfig, ksk_shard, big_ct, axis: str, tp: int):

@@ -227,3 +227,27 @@ def test_multisum_negacyclic_binary():
     for j in range(k):
         expected += polynomial.polymul_wrapping_naive(torus[j], key[j].astype(np.uint32))
     np.testing.assert_array_equal(got, expected)
+
+
+def test_roll_ntt_roundtrip_and_consistency():
+    """Roll-based stacked NTT: roundtrip + polymul agreement with the
+    per-prime Stockham path."""
+    n = 64
+    primes = ntt.DEFAULT_PRIMES[:2]
+    rp = ntt.make_roll_plans(n, primes)
+    rng = np.random.default_rng(11)
+    a = rng.integers(0, primes[1], size=(2, 3, n), dtype=np.uint32)
+    x = jnp.array(a)
+    back = np.array(jax.jit(lambda v: ntt.inverse_roll(rp, ntt.forward_roll(rp, v)))(x))
+    np.testing.assert_array_equal(back, a)
+    # polymul agreement per prime
+    b = rng.integers(0, primes[1], size=(2, 1, n), dtype=np.uint32)
+    y = jnp.array(b)
+    spec = jax.jit(lambda u, v: ntt.inverse_roll(
+        rp, rp.mont_mul(ntt.forward_roll(rp, u), ntt.forward_roll(rp, v))))(x, y)
+    for pi, p in enumerate(primes):
+        plan = ntt.make_plan(n, p)
+        ref = np.array(jax.jit(
+            lambda u, v: ntt.negacyclic_polymul_mod_p(plan, u, v)
+        )(x[pi] % np.uint32(p), y[pi] % np.uint32(p)))
+        np.testing.assert_array_equal(np.array(spec)[pi], ref)
