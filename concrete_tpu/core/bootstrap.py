@@ -112,7 +112,7 @@ def _external_product_stacked(cfg: ServerConfig, sp, ggsw_ntt, glwe_pbn):
     dres = jnp.where(digits[None] < 0, digits[None] + p_bc, digits[None]).astype(
         jnp.uint32
     )  # [P, l, k+1, B, N]
-    dspec = ntt.forward_roll(sp, dres)
+    dspec = ntt.forward_stacked(sp, dres)
     acc = None
     for lev in range(cfg.pbs_level):
         for i in range(cfg.glwe_size):
@@ -120,7 +120,7 @@ def _external_product_stacked(cfg: ServerConfig, sp, ggsw_ntt, glwe_pbn):
             g = ggsw_ntt[:, lev, i]              # [P, k+1, N]
             prod = sp.mont_mul(d[:, None], g[:, :, None, :])  # [P, k+1, B, N]
             acc = prod if acc is None else sp.add(acc, prod)
-    residues = ntt.inverse_roll(sp, acc)         # [P, k+1, B, N]
+    residues = ntt.inverse_stacked(sp, acc)      # [P, k+1, B, N]
     return cfg.crt_context.combine_to_torus(
         [residues[pi] for pi in range(len(cfg.primes))]
     )
@@ -128,7 +128,7 @@ def _external_product_stacked(cfg: ServerConfig, sp, ggsw_ntt, glwe_pbn):
 
 def external_product(cfg: ServerConfig, ggsw_ntt, glwe):
     """<decomp(glwe), GGSW> — public [..., k+1, N] layout wrapper."""
-    sp = ntt.make_roll_plans(cfg.polynomial_size, cfg.primes)
+    sp = ntt.make_stacked_plans(cfg.polynomial_size, cfg.primes)
     lead = glwe.shape[:-2]
     ks1, n = glwe.shape[-2:]
     flat = glwe.reshape((-1, ks1, n))
@@ -177,7 +177,7 @@ def blind_rotate(cfg: ServerConfig, bsk_ntt, lut, lwe):
     (fourier/mod.rs:666-726).
     """
     n_poly = cfg.polynomial_size
-    sp = ntt.make_roll_plans(cfg.polynomial_size, cfg.primes)
+    sp = ntt.make_stacked_plans(cfg.polynomial_size, cfg.primes)
     lead = lwe.shape[:-1]
     lwe_flat = lwe.reshape((-1, lwe.shape[-1]))  # [B, n+1]
     body = lwe_flat[..., -1]

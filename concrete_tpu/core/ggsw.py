@@ -161,12 +161,12 @@ def ggsw_to_ntt(ggsw: np.ndarray, primes: tuple[int, ...], bits: int):
     n = ggsw.shape[-1]
     cc = crt.CrtContext.new(tuple(primes), bits)
 
-    rp = ntt.make_roll_plans(n, tuple(primes))
+    rp = ntt.make_stacked_plans(n, tuple(primes))
 
     @jax.jit
     def _convert(g):
         residues = cc.residues_from_torus(g)
-        return ntt.forward_roll(rp, jnp.stack(residues, axis=0))
+        return ntt.forward_stacked(rp, jnp.stack(residues, axis=0))
 
     return _convert(jnp.asarray(ggsw))
 

@@ -162,10 +162,10 @@ def glwe_to_ntt(glwe, primes: tuple, bits: int):
 
     n = glwe.shape[-1]
     cc = _crt.CrtContext.new(tuple(primes), bits)
-    sp = _ntt.make_roll_plans(n, tuple(primes))
+    sp = _ntt.make_stacked_plans(n, tuple(primes))
 
     residues = cc.residues_from_torus(jnp.asarray(glwe))
-    return _ntt.forward_roll(sp, jnp.stack(residues, axis=0))
+    return _ntt.forward_stacked(sp, jnp.stack(residues, axis=0))
 
 
 def glwe_from_ntt(spectra, primes: tuple, bits: int):
@@ -175,6 +175,6 @@ def glwe_from_ntt(spectra, primes: tuple, bits: int):
 
     n = spectra.shape[-1]
     cc = _crt.CrtContext.new(tuple(primes), bits)
-    sp = _ntt.make_roll_plans(n, tuple(primes))
-    residues = _ntt.inverse_roll(sp, spectra)
+    sp = _ntt.make_stacked_plans(n, tuple(primes))
+    residues = _ntt.inverse_stacked(sp, spectra)
     return cc.combine_to_torus([residues[i] for i in range(len(primes))])

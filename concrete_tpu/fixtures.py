@@ -193,7 +193,126 @@ class PbsFixture(Fixture):
         assert_noise_bounded(dec, expected, predicted, 32, slack_bits=0.75)
 
 
-ALL_FIXTURES = [LweEncryptDecryptFixture, LweKeyswitchFixture, PbsFixture]
+class GlweEncryptDecryptFixture(Fixture):
+    """GLWE fresh-encryption noise matches the configured gaussian."""
+
+    name = "glwe_encrypt_decrypt"
+    PARAMETERS = [
+        {"k": 1, "N": 128, "log_std": -20, "bits": 32},
+        {"k": 2, "N": 64, "log_std": -20, "bits": 32},
+    ]
+
+    def run_one(self, params, rep_seed):
+        bits = params["bits"]
+        sk = glwe_mod.GlweSecretKey.generate_binary(
+            params["k"], params["N"], SecretRandomGenerator(rep_seed), bits
+        )
+        gen = EncryptionRandomGenerator(rep_seed + 1, rep_seed + 2)
+        std = StandardDev(2.0 ** params["log_std"])
+        rng = np.random.default_rng(rep_seed)
+        count = max(2, self.SAMPLE_SIZE // params["N"])
+        msgs = rng.integers(0, 1 << 32, size=(count, params["N"]), dtype=np.uint32)
+        cts = sk.encrypt(msgs, std.std_dev, gen)
+        dec = sk.decrypt(cts)
+        assert_noise_distribution(dec, msgs, std, bits, seed=rep_seed * 17 + 3)
+
+
+class ExternalProductFixture(Fixture):
+    """External product noise <= NPE prediction (binary GGSW)."""
+
+    name = "external_product"
+    PARAMETERS = [
+        {"k": 1, "N": 128, "base_log": 8, "levels": 2},
+        {"k": 2, "N": 64, "base_log": 6, "levels": 3},
+    ]
+    SAMPLE_SIZE = 32
+
+    def run_one(self, params, rep_seed):
+        from .core.ggsw import encrypt_constant_ggsw, ggsw_to_ntt
+        from .params import BooleanParameters
+
+        p = BooleanParameters(
+            lwe_dimension=8,
+            glwe_dimension=params["k"],
+            polynomial_size=params["N"],
+            lwe_modular_std_dev=StandardDev(2.0 ** -20),
+            glwe_modular_std_dev=StandardDev(2.0 ** -25),
+            pbs_base_log=params["base_log"],
+            pbs_level=params["levels"],
+            ks_base_log=2,
+            ks_level=5,
+        )
+        cfg = bs.ServerConfig.from_boolean_parameters(p)
+        sk = glwe_mod.GlweSecretKey.generate_binary(
+            params["k"], params["N"], SecretRandomGenerator(rep_seed)
+        )
+        gen = EncryptionRandomGenerator(rep_seed + 1, rep_seed + 2)
+        ggsw_std = StandardDev(2.0 ** -25)
+        ct_std = StandardDev(2.0 ** -20)
+        ggsw = encrypt_constant_ggsw(
+            sk, 1, params["base_log"], params["levels"], ggsw_std.std_dev, gen
+        )
+        ggsw_ntt = ggsw_to_ntt(ggsw, cfg.primes, 32)
+        rng = np.random.default_rng(rep_seed)
+        msgs = rng.integers(0, 1 << 32, size=(self.SAMPLE_SIZE, params["N"]), dtype=np.uint32)
+        cts = sk.encrypt(msgs, ct_std.std_dev, gen)
+        out = np.array(
+            jax.jit(lambda g, c: bs.external_product(cfg, g, c))(ggsw_ntt, jnp.asarray(cts))
+        )
+        dec = sk.decrypt(out)
+        predicted = npe.estimate_external_product_noise_with_binary_ggsw(
+            params["N"], params["k"], ct_std, ggsw_std,
+            params["base_log"], params["levels"], 32,
+        )
+        assert_noise_bounded(dec, msgs, predicted, 32, slack_bits=0.75)
+
+
+class PackingKeyswitchFixture(Fixture):
+    """LWE -> GLWE keyswitch noise within the NPE keyswitch bound."""
+
+    name = "packing_keyswitch"
+    PARAMETERS = [{"n_in": 32, "k": 1, "N": 64, "base_log": 6, "levels": 4}]
+    SAMPLE_SIZE = 64
+
+    def run_one(self, params, rep_seed):
+        from .core import packing
+        from .core.lwe import LweSecretKey
+
+        sgen = SecretRandomGenerator(rep_seed)
+        lwe_sk = LweSecretKey.generate_binary(params["n_in"], sgen)
+        glwe_sk = glwe_mod.GlweSecretKey.generate_binary(params["k"], params["N"], sgen)
+        gen = EncryptionRandomGenerator(rep_seed + 1, rep_seed + 2)
+        ks_std = StandardDev(2.0 ** -25)
+        ct_std = StandardDev(2.0 ** -20)
+        pksk = packing.PackingKeyswitchKey.generate(
+            lwe_sk, glwe_sk, params["base_log"], params["levels"], ks_std.std_dev, gen
+        )
+        rng = np.random.default_rng(rep_seed)
+        pts = rng.integers(0, 1 << 32, size=self.SAMPLE_SIZE, dtype=np.uint32)
+        cts = lwe_sk.encrypt(pts, ct_std.std_dev, gen)
+        out = np.array(
+            jax.jit(
+                lambda c: packing.keyswitch_lwe_to_glwe(
+                    jnp.asarray(pksk.data), c,
+                    base_log=params["base_log"], level_count=params["levels"],
+                )
+            )(jnp.asarray(cts))
+        )
+        dec = glwe_sk.decrypt(out)[:, 0]
+        predicted = npe.estimate_keyswitch_noise_with_constant_terms(
+            params["n_in"], ct_std, ks_std, params["base_log"], params["levels"], 32
+        )
+        assert_noise_bounded(dec, pts, predicted, 32, slack_bits=0.75)
+
+
+ALL_FIXTURES = [
+    LweEncryptDecryptFixture,
+    GlweEncryptDecryptFixture,
+    LweKeyswitchFixture,
+    ExternalProductFixture,
+    PackingKeyswitchFixture,
+    PbsFixture,
+]
 
 
 def run_all(repetitions=None, sample_size=None) -> list:

@@ -279,6 +279,50 @@ def make_stacked_plans(n: int, primes: tuple) -> StackedNttPlans:
     )
 
 
+def forward_stacked_bl(sp: StackedNttPlans, x):
+    """Batch-LAST stacked forward NTT: x [P, lead..., N, B] -> spectra.
+
+    The butterfly reshapes split the N axis, which sits in the SUBLANE
+    position — leading-dimension reshapes and sublane slices are layout-free
+    on TPU, while the lane axis stays the wide batch B throughout.
+    """
+    n = x.shape[-2]
+    b = x.shape[-1]
+    lead = x.shape[:-2]
+    tw = sp._bc(sp.twist_fwd, x[..., 0])[..., None]  # [P,1..,N,1]
+    x = sp.mont_mul(x.astype(U32), tw)
+    log2n = n.bit_length() - 1
+    for s in range(log2n):
+        m = n >> (s + 1)
+        xr = x.reshape(lead + (1 << s, 2 * m, b))
+        a = xr[..., :m, :]
+        bb = xr[..., m:, :]
+        lo = sp.add(a, bb)
+        w = sp._bc(sp.w_fwd[s], a[..., 0])[..., None]
+        hi = sp.mont_mul(sp.sub(a, bb), w)
+        x = jnp.stack([lo, hi], axis=-3).reshape(lead + (n, b))
+    return x
+
+
+def inverse_stacked_bl(sp: StackedNttPlans, x):
+    """Inverse of forward_stacked_bl: [P, lead..., N, B] spectra -> residues."""
+    n = x.shape[-2]
+    b = x.shape[-1]
+    lead = x.shape[:-2]
+    log2n = n.bit_length() - 1
+    for s in reversed(range(log2n)):
+        m = n >> (s + 1)
+        xr = x.reshape(lead + (1 << s, 2, m, b))
+        u = xr[..., 0, :, :]
+        w = sp._bc(sp.w_inv[s], u[..., 0])[..., None]
+        v = sp.mont_mul(xr[..., 1, :, :], w)
+        a = sp.add(u, v)
+        bb = sp.sub(u, v)
+        x = jnp.concatenate([a, bb], axis=-2).reshape(lead + (n, b))
+    tw = sp._bc(sp.untwist_inv, x[..., 0])[..., None]
+    return sp.mont_mul(x, tw)
+
+
 def forward_stacked(sp: StackedNttPlans, x):
     """Stacked negacyclic forward NTT: x [P, ..., N] plain residues ->
     Montgomery spectra, bit-reversed, all primes in one pass."""

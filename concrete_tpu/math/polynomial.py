@@ -114,3 +114,40 @@ def multisum_negacyclic(torus_polys, small_polys, bits: int):
             acc = plan.ctx.add(acc, prod[..., j, :])
         out_res.append(ntt.inverse(plan, acc))
     return cc.combine_to_torus(out_res)
+
+
+def _negacyclic_static_roll_bl(poly, shift: int):
+    """Batch-last variant: poly [..., N, B], rotate the N (sublane) axis."""
+    n = poly.shape[-2]
+    shift = shift % (2 * n)
+    neg = shift >= n
+    shift = shift % n
+    zero = np.array(0, dtype=poly.dtype)
+    if shift:
+        top = poly[..., n - shift :, :]
+        rest = poly[..., : n - shift, :]
+        out = jnp.concatenate([zero - top, rest], axis=-2)
+    else:
+        out = poly
+    return (zero - out) if neg else out
+
+
+def negacyclic_monomial_mul_bl(poly, degree):
+    """Batch-last barrel rotation: poly [..., N, B] * X^degree with degree
+    broadcastable against poly.shape[:-2] + (B,). Static sublane slices keep
+    the wide batch axis in lanes throughout."""
+    n = poly.shape[-2]
+    degree = jnp.asarray(degree, dtype=jnp.int32) % (2 * n)
+    x = poly
+    nbits = (2 * n - 1).bit_length()
+    for j in range(nbits):
+        bit = (degree >> j) & 1
+        rolled = _negacyclic_static_roll_bl(x, 1 << j)
+        x = jnp.where(bit[..., None, :] == 1, rolled, x)
+    return x
+
+
+def negacyclic_monomial_div_bl(poly, degree):
+    n = poly.shape[-2]
+    degree = jnp.asarray(degree, dtype=jnp.int32) % (2 * n)
+    return negacyclic_monomial_mul_bl(poly, 2 * n - degree)

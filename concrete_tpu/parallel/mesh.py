@@ -79,10 +79,10 @@ def _external_product_tp(cfg: bs.ServerConfig, ggsw_levels, glwe, axis: str, tp:
     # slice my levels: levels are contiguous chunks of l/tp
     my = jax.lax.dynamic_slice_in_dim(digits, tp_idx * l_local, l_local, axis=-3)
     cc = cfg.crt_context
-    rp = ntt.make_roll_plans(cfg.polynomial_size, cfg.primes)
+    rp = ntt.make_stacked_plans(cfg.polynomial_size, cfg.primes)
     p_bc = jnp.asarray(rp.p.astype(np.int32)).reshape((-1,) + (1,) * my.ndim)
     dres = jnp.where(my[None] < 0, my[None] + p_bc, my[None]).astype(jnp.uint32)
-    dspec = ntt.forward_roll(rp, dres)  # [P, ..., l/tp, k+1, N]
+    dspec = ntt.forward_stacked(rp, dres)  # [P, ..., l/tp, k+1, N]
     acc = None
     for lev in range(l_local):
         for i in range(cfg.glwe_size):
@@ -94,7 +94,7 @@ def _external_product_tp(cfg: bs.ServerConfig, ggsw_levels, glwe, axis: str, tp:
     stacked = jnp.stack(
         [_psum_mod_p(acc[pi], p, axis) for pi, p in enumerate(cfg.primes)], axis=0
     )
-    residues = ntt.inverse_roll(rp, stacked)
+    residues = ntt.inverse_stacked(rp, stacked)
     return cc.combine_to_torus([residues[pi] for pi in range(len(cfg.primes))])
 
 
