@@ -193,11 +193,31 @@ def blind_rotate(cfg: ServerConfig, bsk_ntt, lut, lwe):
     # modulus-switch every mask element up front (one vectorized op)
     a_hats = jnp.moveaxis(pbs_modulus_switch(lwe_flat[..., :-1], n_poly), -1, 0)  # [n, B]
 
-    def step(acc, xs):
-        ggsw_i, a_hat = xs  # [P, l, k+1, k+1, N], [B]
-        rotated = polynomial.negacyclic_monomial_mul(acc, a_hat[None, :])
-        diff = rotated - acc
-        return acc + _external_product_stacked(cfg, sp, ggsw_i, diff), None
+    import os
+
+    use_pallas = (
+        os.environ.get("CONCRETE_TPU_PALLAS_CMUX", "0") == "1"
+        and cfg.bits == 32
+        and len(cfg.primes) == 2
+    )
+    if use_pallas:
+        from ..ops import pallas_cmux
+
+        b_total = lwe_flat.shape[0]
+        tile = int(os.environ.get("CONCRETE_TPU_PALLAS_TILE", "64"))
+        kern = pallas_cmux.make_cmux_kernel(cfg, tile_b=min(b_total, tile))
+
+        def step(acc, xs):
+            ggsw_i, a_hat = xs
+            return kern(acc, a_hat, ggsw_i), None
+
+    else:
+
+        def step(acc, xs):
+            ggsw_i, a_hat = xs  # [P, l, k+1, k+1, N], [B]
+            rotated = polynomial.negacyclic_monomial_mul(acc, a_hat[None, :])
+            diff = rotated - acc
+            return acc + _external_product_stacked(cfg, sp, ggsw_i, diff), None
 
     # lax.scan (not fori_loop): the bootstrap key streams through the loop as
     # a scanned input, which XLA pipelines as contiguous per-slice HBM reads;
