@@ -21,28 +21,25 @@ import numpy as np
 
 
 def main():
-    batch_env = os.environ.get("BENCH_BATCHES", "256,1024,4096")
+    batch_env = os.environ.get("BENCH_BATCHES", "1024,2048,4096")
     import jax
     import jax.numpy as jnp
 
     from concrete_tpu.core import bootstrap as bs
+    from concrete_tpu.core import bootstrap_mxu as bsx
     from concrete_tpu.params import TFHE_LIB_PARAMETERS
 
     cfg = bs.ServerConfig.from_boolean_parameters(TFHE_LIB_PARAMETERS)
     rng = np.random.default_rng(0)
     n, l, ks1, N = cfg.lwe_dimension, cfg.pbs_level, cfg.glwe_size, cfg.polynomial_size
-    bsk = jnp.asarray(
-        np.stack(
-            [rng.integers(0, p, size=(n, l, ks1, ks1, N), dtype=np.uint32) for p in cfg.primes],
-            axis=1,
-        )
-    )  # [n, P, l, k+1, k+1, N]
+    bsk_raw = rng.integers(0, 1 << 32, size=(n, l, ks1, ks1, N), dtype=np.uint32)
+    bsk = jnp.asarray(bsx.bsk_to_mxu(bsk_raw, cfg))  # [n, R, k+1, 2N] rings
     ksk = jnp.asarray(
         rng.integers(0, 1 << 32, size=(cfg.big_lwe_dimension, cfg.ks_level, n + 1), dtype=np.uint32)
     )
     lut = bs.trivial_lut_constant(cfg, np.uint32(1 << 29))
 
-    fn = jax.jit(lambda b, k, c: bs.bootstrap_keyswitch(cfg, b, k, lut, c))
+    fn = jax.jit(lambda b, k, c: bsx.bootstrap_keyswitch_mxu(cfg, b, k, lut, c))
 
     best = 0.0
     best_batch = 0
@@ -50,12 +47,12 @@ def main():
         lin = jnp.asarray(rng.integers(0, 1 << 32, size=(batch, n + 1), dtype=np.uint32))
         try:
             out = fn(bsk, ksk, lin)
-            out.block_until_ready()  # warmup + compile
+            np.asarray(out[0, :8])  # warmup + compile; forced host pull
             reps = 3
             t0 = time.perf_counter()
             for _ in range(reps):
                 out = fn(bsk, ksk, lin)
-            out.block_until_ready()
+                np.asarray(out[0, :8])  # block_until_ready may lie on axon
             dt = (time.perf_counter() - t0) / reps
         except Exception as e:  # noqa: BLE001 — skip OOM batch points
             print(f"batch {batch} failed: {e}", file=sys.stderr)

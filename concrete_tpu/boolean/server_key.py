@@ -24,6 +24,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..core import bootstrap as bs
+from ..core import bootstrap_mxu as bsx
 from ..core.ggsw import StandardBootstrapKey, bsk_to_ntt
 from ..core.lwe import LweKeyswitchKey
 from ..csprng import EncryptionRandomGenerator
@@ -37,12 +38,48 @@ _NEG_QUARTER = np.uint32((-(1 << (32 - PLAINTEXT_LOG_SCALING_FACTOR + 1))) % (1 
 
 @dataclasses.dataclass
 class ServerKey:
-    """NTT-domain bootstrap key + keyswitch key + static config."""
+    """Bootstrap key + keyswitch key + static config.
 
-    bsk_ntt: jax.Array  # [n, P, l, k+1, k+1, N] uint32 Montgomery spectra
+    The coefficient-domain BSK is the canonical stored form; the evaluation
+    form is derived lazily per backend:
+    - "mxu": limb-packed toeplitz rotation rings driving the int8 MXU path
+      (core/bootstrap_mxu.py) — the fast path on TPU;
+    - "ntt": exact prime-NTT spectra (core/bootstrap.py) — portable, and the
+      only u64-capable path.
+    "auto" resolves to mxu on TPU hardware, ntt elsewhere. Both backends are
+    exact mod 2^32 and bit-identical.
+    """
+
     ksk: jax.Array      # [kN, l_ks, n+1] uint32
     cfg: bs.ServerConfig
-    bsk_standard: np.ndarray | None = None  # kept for serialization/tests
+    bsk_standard: np.ndarray
+    backend: str = "auto"
+    _bsk_ntt: jax.Array | None = dataclasses.field(default=None, repr=False)
+    _bsk_mxu: jax.Array | None = dataclasses.field(default=None, repr=False)
+
+    def resolved_backend(self) -> str:
+        if self.backend != "auto":
+            return self.backend
+        return "mxu" if (bsx._on_tpu() and self.cfg.bits == 32) else "ntt"
+
+    @property
+    def bsk_ntt(self) -> jax.Array:
+        if self._bsk_ntt is None:
+            self._bsk_ntt = bsk_to_ntt(
+                self.bsk_standard, self.cfg.primes, self.cfg.bits)
+        return self._bsk_ntt
+
+    @property
+    def bsk_mxu(self) -> jax.Array:
+        if self._bsk_mxu is None:
+            self._bsk_mxu = jnp.asarray(
+                bsx.bsk_to_mxu(self.bsk_standard, self.cfg))
+        return self._bsk_mxu
+
+    def _bootstrap_keys(self):
+        if self.resolved_backend() == "mxu":
+            return self.bsk_mxu
+        return self.bsk_ntt
 
     @classmethod
     def new(
@@ -64,7 +101,6 @@ class ServerKey:
             p.glwe_modular_std_dev.std_dev,
             gen,
         )
-        bsk_ntt = bsk_to_ntt(std_bsk.data, cfg.primes, cfg.bits)
         big_key = cks.glwe_secret_key.into_lwe_key()
         ksk = LweKeyswitchKey.generate(
             big_key,
@@ -74,17 +110,15 @@ class ServerKey:
             p.lwe_modular_std_dev.std_dev,
             gen,
         )
+        del keep_standard_bsk  # always kept now (canonical stored form)
         return cls(
-            bsk_ntt=bsk_ntt,
             ksk=jnp.asarray(ksk.data),
             cfg=cfg,
-            bsk_standard=std_bsk.data if keep_standard_bsk else None,
+            bsk_standard=std_bsk.data,
         )
 
     def save(self, path: str):
-        """Serialize from the coefficient-domain BSK (requires
-        keep_standard_bsk=True at construction)."""
-        assert self.bsk_standard is not None, "constructed without standard BSK"
+        """Serialize the coefficient-domain BSK + KSK + parameters."""
         np.savez_compressed(
             path,
             bsk=self.bsk_standard,
@@ -113,7 +147,6 @@ class ServerKey:
             ks_level=int(d["ks_level"]),
         )
         return cls(
-            bsk_ntt=bsk_to_ntt(d["bsk"], cfg.primes, cfg.bits),
             ksk=jnp.asarray(d["ksk"]),
             cfg=cfg,
             bsk_standard=d["bsk"],
@@ -122,37 +155,37 @@ class ServerKey:
     # -- gates -------------------------------------------------------------
 
     def _pipeline(self):
-        return _gate_pipeline(self.cfg)
+        return _gate_pipeline(self.cfg, self.resolved_backend())
 
     def and_(self, ct_left, ct_right):
         lin = jnp.asarray(ct_left) + jnp.asarray(ct_right)
         lin = lin.at[..., -1].add(_NEG_EIGHTH)
-        return self._pipeline()(self.bsk_ntt, self.ksk, lin)
+        return self._pipeline()(self._bootstrap_keys(), self.ksk, lin)
 
     def nand(self, ct_left, ct_right):
         lin = jnp.zeros_like(jnp.asarray(ct_left)) - ct_left - ct_right
         lin = lin.at[..., -1].add(_EIGHTH)
-        return self._pipeline()(self.bsk_ntt, self.ksk, lin)
+        return self._pipeline()(self._bootstrap_keys(), self.ksk, lin)
 
     def or_(self, ct_left, ct_right):
         lin = jnp.asarray(ct_left) + jnp.asarray(ct_right)
         lin = lin.at[..., -1].add(_EIGHTH)
-        return self._pipeline()(self.bsk_ntt, self.ksk, lin)
+        return self._pipeline()(self._bootstrap_keys(), self.ksk, lin)
 
     def nor(self, ct_left, ct_right):
         lin = jnp.zeros_like(jnp.asarray(ct_left)) - ct_left - ct_right
         lin = lin.at[..., -1].add(_NEG_EIGHTH)
-        return self._pipeline()(self.bsk_ntt, self.ksk, lin)
+        return self._pipeline()(self._bootstrap_keys(), self.ksk, lin)
 
     def xor(self, ct_left, ct_right):
         lin = (jnp.asarray(ct_left) + jnp.asarray(ct_right)) * np.uint32(2)
         lin = lin.at[..., -1].add(_QUARTER)
-        return self._pipeline()(self.bsk_ntt, self.ksk, lin)
+        return self._pipeline()(self._bootstrap_keys(), self.ksk, lin)
 
     def xnor(self, ct_left, ct_right):
         lin = (jnp.zeros_like(jnp.asarray(ct_left)) - ct_left - ct_right) * np.uint32(2)
         lin = lin.at[..., -1].add(_NEG_QUARTER)
-        return self._pipeline()(self.bsk_ntt, self.ksk, lin)
+        return self._pipeline()(self._bootstrap_keys(), self.ksk, lin)
 
     def not_(self, ct):
         """Free negation, no bootstrap (server_key/mod.rs:422-429)."""
@@ -160,32 +193,35 @@ class ServerKey:
 
     def mux(self, ct_condition, ct_then, ct_else):
         """(c ? t : e) via two PBS + one keyswitch (server_key/mod.rs:197-279)."""
-        return _mux_pipeline(self.cfg)(
-            self.bsk_ntt, self.ksk, jnp.asarray(ct_condition),
+        return _mux_pipeline(self.cfg, self.resolved_backend())(
+            self._bootstrap_keys(), self.ksk, jnp.asarray(ct_condition),
             jnp.asarray(ct_then), jnp.asarray(ct_else),
         )
 
 
 @functools.lru_cache(maxsize=None)
-def _gate_pipeline(cfg: bs.ServerConfig):
+def _gate_pipeline(cfg: bs.ServerConfig, backend: str):
     """jit(PBS with constant 1/8 accumulator + keyswitch)."""
+    bks = bsx.bootstrap_keyswitch_mxu if backend == "mxu" else bs.bootstrap_keyswitch
 
-    def run(bsk_ntt, ksk, lin):
+    def run(bsk, ksk, lin):
         lut = bs.trivial_lut_constant(cfg, PLAINTEXT_TRUE)
-        return bs.bootstrap_keyswitch(cfg, bsk_ntt, ksk, lut, lin)
+        return bks(cfg, bsk, ksk, lut, lin)
 
     return jax.jit(run)
 
 
 @functools.lru_cache(maxsize=None)
-def _mux_pipeline(cfg: bs.ServerConfig):
-    def run(bsk_ntt, ksk, c, t, e):
+def _mux_pipeline(cfg: bs.ServerConfig, backend: str):
+    pbs_fn = bsx.bootstrap_mxu if backend == "mxu" else bs.bootstrap
+
+    def run(bsk, ksk, c, t, e):
         lut = bs.trivial_lut_constant(cfg, PLAINTEXT_TRUE)
         lin1 = (c + t).at[..., -1].add(_NEG_EIGHTH)
         lin2 = (jnp.zeros_like(c) - c + e).at[..., -1].add(_NEG_EIGHTH)
         # both bootstraps share the CMux chain by stacking on a batch axis
         both = jnp.stack([lin1, lin2], axis=0)
-        pbs = bs.bootstrap(cfg, bsk_ntt, lut, both)
+        pbs = pbs_fn(cfg, bsk, lut, both)
         summed = (pbs[0] + pbs[1]).at[..., -1].add(_EIGHTH)
         from ..core import lwe as lwe_ops
 

@@ -13,6 +13,7 @@ from .mesh import (
     make_mesh,
     gate_pipeline_dp,
     gate_pipeline_dp_tp,
+    gate_pipeline_dp_tp_mxu,
 )
 
-__all__ = ["make_mesh", "gate_pipeline_dp", "gate_pipeline_dp_tp"]
+__all__ = ["make_mesh", "gate_pipeline_dp", "gate_pipeline_dp_tp", "gate_pipeline_dp_tp_mxu"]

@@ -21,6 +21,7 @@ from jax.sharding import Mesh, PartitionSpec as P
 from jax.experimental.shard_map import shard_map
 
 from ..core import bootstrap as bs
+from ..core import bootstrap_mxu as bsx
 from ..core import lwe as lwe_ops
 from ..math import decomposition, ntt, polynomial
 
@@ -37,11 +38,16 @@ def make_mesh(dp: int, tp: int = 1, devices=None) -> Mesh:
 # ---------------------------------------------------------------------------
 
 
-def gate_pipeline_dp(cfg: bs.ServerConfig, mesh: Mesh):
-    """jit(shard_map(PBS+keyswitch)) with the batch on the dp axis."""
+def gate_pipeline_dp(cfg: bs.ServerConfig, mesh: Mesh, backend: str = "ntt"):
+    """jit(shard_map(PBS+keyswitch)) with the batch on the dp axis.
 
-    def run(bsk_ntt, ksk, lut, lin):
-        return bs.bootstrap_keyswitch(cfg, bsk_ntt, ksk, lut, lin)
+    backend "mxu" runs the toeplitz-matmul path (core/bootstrap_mxu.py);
+    keys are replicated, the ciphertext batch is sharded — the production
+    scaling mode (BASELINE config 4: 16k PBS across a mesh)."""
+    bks = bsx.bootstrap_keyswitch_mxu if backend == "mxu" else bs.bootstrap_keyswitch
+
+    def run(bsk, ksk, lut, lin):
+        return bks(cfg, bsk, ksk, lut, lin)
 
     sharded = shard_map(
         run,
@@ -156,6 +162,76 @@ def gate_pipeline_dp_tp(cfg: bs.ServerConfig, mesh: Mesh):
         mesh=mesh,
         in_specs=(
             P(None, None, "tp"),  # bsk levels
+            P("tp"),              # ksk input-key rows
+            P(),                  # lut replicated
+            P("dp"),              # ciphertext batch
+        ),
+        out_specs=P("dp"),
+        check_rep=False,
+    )
+    return jax.jit(sharded)
+
+
+# ---------------------------------------------------------------------------
+# dp + tp on the MXU path: digit row-blocks sharded, wrapping psum
+# ---------------------------------------------------------------------------
+
+
+def gate_pipeline_dp_tp_mxu(cfg: bs.ServerConfig, mesh: Mesh):
+    """MXU-path gate pipeline: batch on dp, external-product row blocks on tp.
+
+    The toeplitz rings [n, R, k+1, 2N] are sharded on the block axis R (the
+    gadget levels); each tp shard dots its digit row-blocks against its ring
+    slice and the per-device partial sums combine with a plain wrapping psum
+    (exact mod 2^32 — integer sums commute with the collective, no mod-p
+    bookkeeping). The keyswitch contraction is sharded as in the NTT variant.
+    Requires row_blocks % tp == 0 and big_lwe_dimension % tp == 0.
+    """
+    plan = bsx.MxuPlan.from_config(cfg)
+    tp = mesh.shape["tp"]
+    assert plan.row_blocks % tp == 0, (plan.row_blocks, tp)
+    assert cfg.big_lwe_dimension % tp == 0
+    blocks_local = plan.row_blocks // tp
+    N = cfg.polynomial_size
+
+    def run(rings_shard, ksk_shard, lut, lin):
+        body = lin[..., -1]
+        b_hat = bs.pbs_modulus_switch(body, N)
+        a_hats = jnp.moveaxis(bs.pbs_modulus_switch(lin[..., :-1], N), -1, 0)
+        acc = jnp.moveaxis(jnp.broadcast_to(lut, lin.shape[:-1] + lut.shape[-2:]), -2, 0)
+        acc = polynomial.negacyclic_monomial_div(acc, b_hat[None, :])
+        tp_idx = jax.lax.axis_index("tp")
+
+        def step(acc, xs):
+            rings_i, a_hat = xs                     # [R/tp, k+1, 2N], [B]
+            rot = polynomial.negacyclic_monomial_mul(acc, a_hat[None, :])
+            d8 = bsx._digit_matrix(plan, rot - acc)  # [B, R*N] full digits
+            my = jax.lax.dynamic_slice_in_dim(
+                d8, tp_idx * blocks_local * N, blocks_local * N, axis=1)
+            rhs = bsx.build_tables(rings_i, N)       # local [R/tp*N, cols]
+            s = jax.lax.dot_general(
+                my, rhs, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32)
+            s = jax.lax.psum(s, "tp")                # wrapping == exact mod 2^32
+            outs = []
+            for kj in range(cfg.glwe_size):
+                o = s[:, kj * 4 * N: kj * 4 * N + N]
+                for m in range(1, 4):
+                    c0 = (kj * 4 + m) * N
+                    o = o + (s[:, c0:c0 + N] << np.int32(8 * m))
+                outs.append(o)
+            upd = jax.lax.bitcast_convert_type(jnp.stack(outs, axis=0), jnp.uint32)
+            return acc + upd, None
+
+        acc, _ = jax.lax.scan(step, acc, (rings_shard, a_hats))
+        big = bs.sample_extract(jnp.moveaxis(acc, 0, -2))
+        return _keyswitch_tp(cfg, ksk_shard, big, "tp", tp)
+
+    sharded = shard_map(
+        run,
+        mesh=mesh,
+        in_specs=(
+            P(None, "tp"),        # rings: row blocks (levels) sharded
             P("tp"),              # ksk input-key rows
             P(),                  # lut replicated
             P("dp"),              # ciphertext batch

@@ -1,0 +1,94 @@
+"""MXU toeplitz-matmul bootstrap path: bit-exact equivalence with the NTT
+path (both are exact arithmetic mod 2^32) and end-to-end gate correctness."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from concrete_tpu.core import bootstrap as bs
+from concrete_tpu.core import bootstrap_mxu as bsx
+from concrete_tpu.core import glwe as glwe_mod
+from concrete_tpu.core import lwe as lwe_mod
+from concrete_tpu.core.ggsw import StandardBootstrapKey, bsk_to_ntt
+from concrete_tpu.csprng import EncryptionRandomGenerator, SecretRandomGenerator
+
+from common import TINY, TINY_K2
+
+
+def _setup(params, seed=7):
+    sgen = SecretRandomGenerator(seed)
+    lwe_sk = lwe_mod.LweSecretKey.generate_binary(params.lwe_dimension, sgen)
+    glwe_sk = glwe_mod.GlweSecretKey.generate_binary(
+        params.glwe_dimension, params.polynomial_size, sgen
+    )
+    gen = EncryptionRandomGenerator(seed + 1, seed + 2)
+    bsk = StandardBootstrapKey.generate(
+        lwe_sk, glwe_sk, params.pbs_base_log, params.pbs_level,
+        params.glwe_modular_std_dev.std_dev, gen,
+    )
+    cfg = bs.ServerConfig.from_boolean_parameters(params)
+    return lwe_sk, glwe_sk, bsk, cfg, gen
+
+
+@pytest.mark.parametrize("params", [TINY, TINY_K2], ids=["tiny", "tiny_k2"])
+def test_external_product_mxu_matches_ntt(params):
+    """Both paths compute the exact integer external product mod 2^32 —
+    outputs must be bit-identical (incl. the digit-split path at
+    pbs_base_log=8)."""
+    lwe_sk, glwe_sk, bsk, cfg, gen = _setup(params)
+    rng = np.random.default_rng(3)
+    batch = 5
+    glwe = jnp.asarray(
+        rng.integers(0, 1 << 32,
+                     size=(batch, cfg.glwe_size, cfg.polynomial_size),
+                     dtype=np.uint32)
+    )
+    from concrete_tpu.core.ggsw import ggsw_to_ntt
+
+    ggsw_raw = np.asarray(bsk.data[0])          # first key bit's GGSW
+    ggsw_ntt = ggsw_to_ntt(ggsw_raw, cfg.primes, cfg.bits)
+    want = np.asarray(bs.external_product(cfg, ggsw_ntt, glwe))
+
+    rings = bsx.bsk_to_mxu(bsk.data, cfg)[0]
+    got = np.asarray(bsx.external_product_mxu(cfg, jnp.asarray(rings), glwe))
+    np.testing.assert_array_equal(got, want)
+
+
+@pytest.mark.parametrize("params", [TINY, TINY_K2], ids=["tiny", "tiny_k2"])
+def test_blind_rotate_mxu_matches_ntt(params):
+    lwe_sk, glwe_sk, bsk, cfg, gen = _setup(params)
+    rng = np.random.default_rng(5)
+    batch = 4
+    lwe = jnp.asarray(
+        rng.integers(0, 1 << 32, size=(batch, cfg.lwe_dimension + 1),
+                     dtype=np.uint32)
+    )
+    lut = bs.trivial_lut_constant(cfg, np.uint32(1 << 29))
+    bsk_ntt = bsk_to_ntt(bsk.data, cfg.primes, cfg.bits)
+    want = np.asarray(bs.blind_rotate(cfg, bsk_ntt, lut, lwe))
+    rings = jnp.asarray(bsx.bsk_to_mxu(bsk.data, cfg))
+    got = np.asarray(bsx.blind_rotate_mxu(cfg, rings, lut, lwe))
+    np.testing.assert_array_equal(got, want)
+
+
+def test_full_pbs_mxu_decrypts():
+    """End-to-end PBS on the MXU path refreshes +-1/8 encodings."""
+    params = TINY
+    lwe_sk, glwe_sk, bsk, cfg, gen = _setup(params)
+    eighth = np.uint32(1 << 29)
+    rng = np.random.default_rng(11)
+    bits = rng.integers(0, 2, size=32)
+    pts = np.where(bits == 1, eighth, np.uint32(0) - eighth).astype(np.uint32)
+    cts = lwe_sk.encrypt(pts, params.lwe_modular_std_dev.std_dev, gen)
+
+    rings = jnp.asarray(bsx.bsk_to_mxu(bsk.data, cfg))
+    lut = bs.trivial_lut_constant(cfg, eighth)
+    out = np.asarray(bsx.bootstrap_mxu(cfg, rings, lut, jnp.asarray(cts)))
+    big_key = glwe_sk.into_lwe_key()
+    dec = big_key.decrypt(out)
+    # sign test: decrypted value close to +-1/8
+    signed = dec.astype(np.int32)
+    want = np.where(bits == 1, 1, -1)
+    got = np.where(signed > 0, 1, -1)
+    np.testing.assert_array_equal(got, want)
