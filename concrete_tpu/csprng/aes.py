@@ -76,7 +76,66 @@ def _mix_columns(state: np.ndarray) -> np.ndarray:
 
 
 def encrypt_blocks(blocks: np.ndarray, round_keys: np.ndarray) -> np.ndarray:
-    """Encrypt a batch of 16-byte blocks. blocks: [n, 16] u8 -> [n, 16] u8."""
+    """Encrypt a batch of 16-byte blocks. blocks: [n, 16] u8 -> [n, 16] u8.
+
+    Dispatches to the native C++ backend (AES-NI when the CPU has it,
+    concrete_tpu/native/aes_ctr.cpp) and falls back to the vectorized numpy
+    path below — both bit-identical."""
+    from .. import native
+
+    lib = native.load_aes()
+    if lib is not None and blocks.size:
+        import ctypes
+
+        blk = np.ascontiguousarray(blocks, dtype=np.uint8)
+        rk = np.ascontiguousarray(round_keys, dtype=np.uint8)
+        out = np.empty_like(blk)
+        u8p = ctypes.POINTER(ctypes.c_uint8)
+        lib.ctpu_aes128_encrypt_blocks(
+            rk.ctypes.data_as(u8p),
+            blk.ctypes.data_as(u8p),
+            out.ctypes.data_as(u8p),
+            blk.shape[0],
+        )
+        return out
+    return _encrypt_blocks_numpy(blocks, round_keys)
+
+
+def ctr_fill(round_keys: np.ndarray, first_block: int, n_blocks: int) -> np.ndarray:
+    """Encrypt ``n_blocks`` consecutive little-endian u128 counters starting
+    at ``first_block`` -> [n_blocks * 16] u8 stream bytes. Native fast path
+    with a numpy fallback (bit-identical)."""
+    from .. import native
+
+    lib = native.load_aes()
+    if lib is not None and n_blocks:
+        import ctypes
+
+        rk = np.ascontiguousarray(round_keys, dtype=np.uint8)
+        out = np.empty(n_blocks * 16, dtype=np.uint8)
+        u8p = ctypes.POINTER(ctypes.c_uint8)
+        lib.ctpu_aes128_ctr_fill(
+            rk.ctypes.data_as(u8p),
+            ctypes.c_uint64(first_block & 0xFFFFFFFFFFFFFFFF),
+            ctypes.c_uint64((first_block >> 64) & 0xFFFFFFFFFFFFFFFF),
+            out.ctypes.data_as(u8p),
+            n_blocks,
+        )
+        return out
+    first_lo = np.uint64(first_block & 0xFFFFFFFFFFFFFFFF)
+    first_hi = np.uint64((first_block >> 64) & 0xFFFFFFFFFFFFFFFF)
+    k = np.arange(n_blocks, dtype=np.uint64)
+    with np.errstate(over="ignore"):
+        lo = first_lo + k
+        hi = first_hi + (lo < first_lo).astype(np.uint64)
+    blocks = np.empty((n_blocks, 16), dtype=np.uint8)
+    blocks[:, :8] = lo.astype("<u8").view(np.uint8).reshape(-1, 8)
+    blocks[:, 8:] = hi.astype("<u8").view(np.uint8).reshape(-1, 8)
+    return _encrypt_blocks_numpy(blocks, round_keys).reshape(-1)
+
+
+def _encrypt_blocks_numpy(blocks: np.ndarray, round_keys: np.ndarray) -> np.ndarray:
+    """Pure-numpy batched AES-128 (the reference software path analog)."""
     state = blocks ^ round_keys[0]
     for rnd in range(1, 10):
         state = SBOX[state]

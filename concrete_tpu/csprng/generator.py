@@ -130,18 +130,9 @@ class AesCtrGenerator:
         first_block = start // 16
         n_blocks = (start + n + 15) // 16 - first_block
         # Counters are consecutive u128 values encoded little-endian
-        # (software.rs:76-89 uses to_ne_bytes on x86). Build them as two u64
-        # lanes with explicit carry.
-        first_lo = np.uint64(first_block & 0xFFFFFFFFFFFFFFFF)
-        first_hi = np.uint64((first_block >> 64) & 0xFFFFFFFFFFFFFFFF)
-        k = np.arange(n_blocks, dtype=np.uint64)
-        with np.errstate(over="ignore"):
-            lo = first_lo + k
-            hi = first_hi + (lo < first_lo).astype(np.uint64)
-        blocks = np.empty((n_blocks, 16), dtype=np.uint8)
-        blocks[:, :8] = lo.astype("<u8").view(np.uint8).reshape(-1, 8)
-        blocks[:, 8:] = hi.astype("<u8").view(np.uint8).reshape(-1, 8)
-        out = aes.encrypt_blocks(blocks, self.round_keys).reshape(-1)
+        # (software.rs:76-89 uses to_ne_bytes on x86); ctr_fill runs the
+        # native AES-NI path when available, numpy otherwise (bit-identical).
+        out = aes.ctr_fill(self.round_keys, first_block, n_blocks)
         offset = start % 16
         self.state = self.state.shifted(n)
         return out[offset : offset + n]
