@@ -12,21 +12,27 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
 import time
 
 import numpy as np
 
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 
 def _timeit(fn, *args, reps=3):
-    import jax
+    """block_until_ready can return at enqueue time on remote platforms;
+    force completion with a tiny host pull per call."""
 
-    out = fn(*args)
-    jax.block_until_ready(out)
+    def pull(out):
+        leaf = out[0] if isinstance(out, (tuple, list)) else out
+        np.asarray(leaf).ravel()[:1]
+
+    pull(fn(*args))
     t0 = time.perf_counter()
     for _ in range(reps):
-        out = fn(*args)
-    jax.block_until_ready(out)
+        pull(fn(*args))
     return (time.perf_counter() - t0) / reps
 
 
@@ -41,6 +47,7 @@ def main():
     import jax.numpy as jnp
 
     from concrete_tpu.core import bootstrap as bs
+    from concrete_tpu.core import bootstrap_mxu as bsx
     from concrete_tpu.core import lwe as lwe_ops
     from concrete_tpu.math import ntt
     from concrete_tpu.params import DEFAULT_PARAMETERS, TFHE_LIB_PARAMETERS
@@ -114,6 +121,37 @@ def main():
             lambda bk, k, c: bs.bootstrap_keyswitch(cfg, bk, k, lut, c),
             bsk, ksk, cts,
         )
+
+        # MXU toeplitz backend (the production path on TPU)
+        bsk_raw = rng.integers(0, 1 << 32, size=(n, l, ks1, ks1, N), dtype=np.uint32)
+        rings = jnp.asarray(bsx.bsk_to_mxu(bsk_raw, cfg))
+        run(
+            "external_product_mxu",
+            lambda r, g: bsx.external_product_mxu(cfg, r, g),
+            rings[0], glwe,
+        )
+        run(
+            "pbs_mxu",
+            lambda r, c: bsx.bootstrap_mxu(cfg, r, lut, c),
+            rings, cts,
+        )
+        run(
+            "gate_bootstrap_mxu (pbs+ks)",
+            lambda r, k, c: bsx.bootstrap_keyswitch_mxu(cfg, r, k, lut, c),
+            rings, ksk, cts,
+        )
+
+        # host-side CSPRNG throughput (native AES-CTR when available)
+        if not want or "csprng" in want:
+            from concrete_tpu.csprng import aes as aes_mod
+
+            rk = aes_mod.key_schedule(bytes(range(16)))
+            nbytes = 1 << 24
+            aes_mod.ctr_fill(rk, 0, 1024)  # warm
+            t0 = time.perf_counter()
+            aes_mod.ctr_fill(rk, 7, nbytes // 16)
+            dt = time.perf_counter() - t0
+            record("csprng_ctr_fill", pname, dt, nbytes)
 
     return results
 
