@@ -66,14 +66,17 @@ class MxuPlan:
     split_shift: int        # s: digits split as d = 2^s d_hi + d_lo (s=0: none)
     ks_base_log: int
     ks_level: int
+    bits: int = 32          # torus width: 32 (boolean) or 64 (highlevel)
 
     @classmethod
     def from_config(cls, cfg: ServerConfig) -> "MxuPlan":
-        if cfg.bits != 32:
-            raise NotImplementedError("mxu bootstrap path is u32-torus only")
+        if cfg.bits not in (32, 64):
+            raise NotImplementedError("mxu bootstrap path: u32/u64 torus only")
         # |digit| <= B/2; int8 operands must stay within [-128, 127] and the
         # split-high digit within +-64 so i32 accumulation stays exact.
         s = max(0, cfg.pbs_base_log - 7)
+        if cfg.pbs_base_log > 14:
+            raise NotImplementedError("pbs_base_log > 14 needs a 3-way split")
         return cls(
             lwe_dimension=cfg.lwe_dimension,
             glwe_size=cfg.glwe_size,
@@ -83,11 +86,22 @@ class MxuPlan:
             split_shift=s,
             ks_base_log=cfg.ks_base_log,
             ks_level=cfg.ks_level,
+            bits=cfg.bits,
         )
 
     @property
     def n_sub(self) -> int:
         return 2 if self.split_shift else 1
+
+    @property
+    def n_words(self) -> int:
+        """u32 words per torus coefficient (1 for u32, 2 for u64)."""
+        return self.bits // 32
+
+    @property
+    def n_limbs(self) -> int:
+        """signed-byte limbs per torus coefficient."""
+        return self.bits // 8
 
     @property
     def row_blocks(self) -> int:
@@ -101,14 +115,15 @@ class MxuPlan:
 
 
 def _limb_pack(v):
-    """Pack the balanced signed-byte limb decomposition of u32 `v` into one
-    u32 word (byte m = limb c_m mod 256; carries propagate upward and the top
-    carry wraps mod 2^32, so the bytes recompose to v exactly)."""
-    one = np.uint32(1)
+    """Pack the balanced signed-byte limb decomposition of u32/u64 `v` into
+    same-width words (byte m = limb c_m mod 256; carries propagate upward and
+    the top carry wraps, so the bytes recompose to v exactly)."""
+    bits = v.dtype.itemsize * 8
+    one = v.dtype.type(1)
     w = v
-    w = w + (((w >> np.uint32(7)) & one) << np.uint32(8))
-    w = w + (((w >> np.uint32(15)) & one) << np.uint32(16))
-    w = w + (((w >> np.uint32(23)) & one) << np.uint32(24))
+    with np.errstate(over="ignore"):
+        for b in range(7, bits - 8, 8):
+            w = w + (((w >> v.dtype.type(b)) & one) << v.dtype.type(b + 1))
     return w
 
 
@@ -121,21 +136,27 @@ def bsk_to_mxu(bsk_data, cfg: ServerConfig):
     negation in the hot loop (balanced limbs of -g != -limbs of g).
     """
     plan = MxuPlan.from_config(cfg)
-    bsk = np.asarray(bsk_data, dtype=np.uint32)
+    dt = np.uint32 if plan.bits == 32 else np.uint64
+    bsk = np.asarray(bsk_data, dtype=dt)
     n, l, ks1, _, N = bsk.shape
-    rings = np.empty((n, plan.row_blocks, ks1, 2 * N), dtype=np.uint32)
+    rings = np.empty(
+        (n, plan.row_blocks, ks1, plan.n_words, 2 * N), dtype=np.uint32)
     blk = 0
-    for lev in range(l):
-        for sub in range(plan.n_sub):
-            mult = np.uint32(1 << plan.split_shift) if (
-                plan.n_sub == 2 and sub == 0) else np.uint32(1)
-            for ki in range(ks1):
-                g = bsk[:, lev, ki, :, :] * mult  # [n, k+1, N] wrapping
-                rings[:, blk, :, :N] = _limb_pack(g)
-                rings[:, blk, :, N:] = _limb_pack(
-                    (np.uint32(0) - g).astype(np.uint32))
-                blk += 1
-    return rings
+    with np.errstate(over="ignore"):
+        for lev in range(l):
+            for sub in range(plan.n_sub):
+                mult = dt(1 << plan.split_shift) if (
+                    plan.n_sub == 2 and sub == 0) else dt(1)
+                for ki in range(ks1):
+                    g = bsk[:, lev, ki, :, :] * mult  # [n, k+1, N] wrapping
+                    pos = _limb_pack(g)
+                    neg = _limb_pack((dt(0) - g).astype(dt))
+                    for w in range(plan.n_words):
+                        sh = dt(32 * w)
+                        rings[:, blk, :, w, :N] = (pos >> sh).astype(np.uint32)
+                        rings[:, blk, :, w, N:] = (neg >> sh).astype(np.uint32)
+                    blk += 1
+    return rings.reshape(n, plan.row_blocks, ks1 * plan.n_words, 2 * N)
 
 
 # ---------------------------------------------------------------------------
@@ -157,9 +178,10 @@ def _extract_limbs_i8(words, N: int):
 
 
 def _build_tables_jnp(rings, N: int):
-    """rings [R, k+1, 2N] u32 -> RHS [R*N, (k+1)*4*N] i8: row (blk, r),
-    column (kj, m, c) holds limb m of (X^r * g_{blk,kj})[c] — the negacyclic
-    toeplitz matrix T[r, c] = limb_m(ring[(c - r) mod 2N])."""
+    """rings [R, planes, 2N] u32 -> RHS [R*N, planes*4*N] i8: row (blk, r),
+    column (plane, m, c) holds byte m of (X^r * ring_plane)[c] — the
+    negacyclic toeplitz matrix T[r, c] = limb_m(ring[(c - r) mod 2N]).
+    planes = (k+1) for u32, (k+1)*2 word-planes for u64."""
     r_blocks, ks1, _ = rings.shape
     x = rings[:, :, None, :]  # [R, k+1, 1, 2N]
     rows = 1
@@ -270,22 +292,25 @@ def _digit_matrix(plan: MxuPlan, diff):
 
 
 def _toeplitz_matmul(plan: MxuPlan, d8, rhs):
-    """d8 [B, R*N] i8  x  rhs [R*N, (k+1)*4*N] i8 -> [k+1, B, N] u32:
-    the exact external-product sum mod 2^32 (one MXU dot over K = R*N,
-    wrapping limb recombination via pure lane slices)."""
-    N, ks1 = plan.polynomial_size, plan.glwe_size
+    """d8 [B, R*N] i8  x  rhs [R*N, (k+1)*n_limbs*N] i8 -> [k+1, B, N]
+    u32/u64: the exact external-product sum mod 2^bits (one MXU dot over
+    K = R*N, wrapping limb recombination via pure lane slices)."""
+    N, ks1, nl = plan.polynomial_size, plan.glwe_size, plan.n_limbs
     s = jax.lax.dot_general(
         d8, rhs, (((1,), (0,)), ((), ())), preferred_element_type=jnp.int32
     )                                                       # [B, (kj, m, c)]
+    acc_t = jnp.int32 if plan.bits == 32 else jnp.int64
+    out_t = jnp.uint32 if plan.bits == 32 else jnp.uint64
     outs = []
     for kj in range(ks1):
-        o = s[:, kj * 4 * N: kj * 4 * N + N]
-        for m in range(1, 4):
-            c0 = (kj * 4 + m) * N
-            o = o + (s[:, c0:c0 + N] << np.int32(8 * m))    # wrapping mod 2^32
+        o = s[:, kj * nl * N: kj * nl * N + N].astype(acc_t)
+        for m in range(1, nl):
+            c0 = (kj * nl + m) * N
+            sm = s[:, c0:c0 + N].astype(acc_t)
+            o = o + (sm << acc_t(8 * m))                    # wrapping mod 2^bits
         outs.append(o)
     out = jnp.stack(outs, axis=0)                           # [k+1, B, N]
-    return jax.lax.bitcast_convert_type(out, jnp.uint32)
+    return jax.lax.bitcast_convert_type(out, out_t)
 
 
 def external_product_mxu(cfg: ServerConfig, rings, glwe):
@@ -343,7 +368,10 @@ def blind_rotate_mxu(cfg: ServerConfig, bsk_rings, lut, lwe):
         rhs = build_tables(rings_i, N)
         return acc + _toeplitz_matmul(plan, d8, rhs), None
 
-    acc, _ = jax.lax.scan(step, acc, (bsk_rings, a_hats))
+    import os
+
+    unroll = int(os.environ.get("CONCRETE_TPU_SCAN_UNROLL", "1"))
+    acc, _ = jax.lax.scan(step, acc, (bsk_rings, a_hats), unroll=unroll)
     return jnp.moveaxis(acc, 0, 1).reshape(lead + (ks1, N))
 
 

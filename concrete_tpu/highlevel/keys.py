@@ -92,12 +92,47 @@ class RLWESecretKey:
 @dataclasses.dataclass
 class LWEBSK:
     """Bootstrapping key (lwe_bsk.rs:20): GGSW of the input key bits under
-    the RLWE key, plus its NTT-domain form and the static server config."""
+    the RLWE key. The coefficient-domain form is canonical; evaluation forms
+    derive lazily per backend ("mxu" int8-toeplitz rings on TPU, exact-NTT
+    spectra elsewhere — bit-identical, see core/bootstrap_mxu.py)."""
 
     cfg: bs.ServerConfig
-    bsk_ntt: object            # [n, P, l, k+1, k+1, N] device array
     variance: float
-    coefficient_bsk: np.ndarray | None = None  # standard domain, for save/load
+    coefficient_bsk: np.ndarray
+    backend: str = "auto"
+    _bsk_ntt: object = dataclasses.field(default=None, repr=False)
+    _bsk_mxu: object = dataclasses.field(default=None, repr=False)
+
+    def resolved_backend(self) -> str:
+        from ..core import bootstrap_mxu as bsx
+
+        if self.backend != "auto":
+            return self.backend
+        return "mxu" if bsx._on_tpu() else "ntt"
+
+    @property
+    def bsk_ntt(self):
+        if self._bsk_ntt is None:
+            self._bsk_ntt = bsk_to_ntt(self.coefficient_bsk, self.cfg.primes, BITS)
+        return self._bsk_ntt
+
+    @property
+    def bsk_mxu(self):
+        import jax.numpy as jnp
+
+        from ..core import bootstrap_mxu as bsx
+
+        if self._bsk_mxu is None:
+            self._bsk_mxu = jnp.asarray(bsx.bsk_to_mxu(self.coefficient_bsk, self.cfg))
+        return self._bsk_mxu
+
+    def run_bootstrap(self, accumulator, cts):
+        """PBS of `cts` against `accumulator` on the resolved backend."""
+        from ..core import bootstrap_mxu as bsx
+
+        if self.resolved_backend() == "mxu":
+            return bsx.bootstrap_mxu(self.cfg, self.bsk_mxu, accumulator, cts)
+        return bs.bootstrap(self.cfg, self.bsk_ntt, accumulator, cts)
 
     @classmethod
     def new(
@@ -125,11 +160,11 @@ class LWEBSK:
         std_bsk = StandardBootstrapKey.generate(
             sk_input.inner, sk_output.inner, base_log, level, sk_output.std_dev, gen
         )
+        del keep_coefficient_bsk  # always kept (canonical stored form)
         return cls(
             cfg=cfg,
-            bsk_ntt=bsk_to_ntt(std_bsk.data, cfg.primes, BITS),
             variance=sk_output.variance,
-            coefficient_bsk=std_bsk.data if keep_coefficient_bsk else None,
+            coefficient_bsk=std_bsk.data,
         )
 
     @property
@@ -155,7 +190,6 @@ class LWEBSK:
         return log2_exact(self.polynomial_size)
 
     def save(self, path: str):
-        assert self.coefficient_bsk is not None, "constructed without coefficients"
         np.savez_compressed(
             path,
             bsk=self.coefficient_bsk,
@@ -182,7 +216,6 @@ class LWEBSK:
         )
         return cls(
             cfg=cfg,
-            bsk_ntt=bsk_to_ntt(data, cfg.primes, BITS),
             variance=float(d["variance"]),
             coefficient_bsk=data,
         )

@@ -371,7 +371,7 @@ class LWE:
         if self.encoder.nb_bit_padding > 1:
             ct = self.remove_padding(self.encoder.nb_bit_padding - 1)
         out_data = np.array(
-            bs.bootstrap(cfg, bsk.bsk_ntt, accumulator, jnp.asarray(ct.data))
+            bsk.run_bootstrap(accumulator, jnp.asarray(ct.data))
         )
         new_var = npe.estimate_pbs_noise(
             self.dimension,

@@ -246,7 +246,7 @@ class VectorLWE:
         data = self.data
         if enc0.nb_bit_padding > 1:
             data = (data << DTYPE(enc0.nb_bit_padding - 1)).astype(DTYPE)
-        out_data = np.array(bs.bootstrap(cfg, bsk.bsk_ntt, accumulator, jnp.asarray(data)))
+        out_data = np.array(bsk.run_bootstrap(accumulator, jnp.asarray(data)))
         new_var = npe.estimate_pbs_noise(
             self.dimension, bsk.polynomial_size, bsk.dimension,
             bsk.base_log, bsk.level, Variance(bsk.variance), BITS,

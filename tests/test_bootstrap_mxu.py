@@ -92,3 +92,29 @@ def test_full_pbs_mxu_decrypts():
     want = np.where(bits == 1, 1, -1)
     got = np.where(signed > 0, 1, -1)
     np.testing.assert_array_equal(got, want)
+
+
+def test_blind_rotate_mxu_matches_ntt_u64():
+    """The u64-torus MXU path (2 word-planes, 8 limbs) is bit-identical to
+    the exact-NTT path — the highlevel (concrete-crate analog) regime."""
+    from concrete_tpu.csprng import SecretRandomGenerator
+
+    cfg = bs.ServerConfig(
+        lwe_dimension=10, glwe_dimension=1, polynomial_size=64,
+        pbs_base_log=10, pbs_level=3, ks_base_log=4, ks_level=3, bits=64)
+    sgen = SecretRandomGenerator(3)
+    lwe_sk = lwe_mod.LweSecretKey.generate_binary(cfg.lwe_dimension, sgen, bits=64)
+    glwe_sk = glwe_mod.GlweSecretKey.generate_binary(
+        cfg.glwe_dimension, cfg.polynomial_size, sgen, bits=64)
+    gen = EncryptionRandomGenerator(4, 5)
+    bsk = StandardBootstrapKey.generate(
+        lwe_sk, glwe_sk, cfg.pbs_base_log, cfg.pbs_level, 2.0 ** -40, gen)
+    rng = np.random.default_rng(0)
+    lwe = jnp.asarray(rng.integers(
+        0, 1 << 62, size=(4, cfg.lwe_dimension + 1), dtype=np.uint64))
+    lut = bs.trivial_lut_constant(cfg, np.uint64(1 << 60))
+    want = np.asarray(bs.blind_rotate(
+        cfg, bsk_to_ntt(bsk.data, cfg.primes, 64), lut, lwe))
+    rings = jnp.asarray(bsx.bsk_to_mxu(bsk.data, cfg))
+    got = np.asarray(bsx.blind_rotate_mxu(cfg, rings, lut, lwe))
+    np.testing.assert_array_equal(got, want)
