@@ -165,7 +165,8 @@ def pbs_modulus_switch(x, poly_size: int, offset: int = 0, lut_count_log: int = 
     return out.astype(jnp.int32)
 
 
-def blind_rotate(cfg: ServerConfig, bsk_ntt, lut, lwe):
+def blind_rotate(cfg: ServerConfig, bsk_ntt, lut, lwe, *, ms_offset: int = 0,
+                 lut_count_log: int = 0):
     """Rotate `lut` by X^{-b} then CMux-chain over the mask elements.
 
     bsk_ntt: [n, P, l, k+1, k+1, N] — the CMux-chain axis is LEADING so the
@@ -181,7 +182,7 @@ def blind_rotate(cfg: ServerConfig, bsk_ntt, lut, lwe):
     lead = lwe.shape[:-1]
     lwe_flat = lwe.reshape((-1, lwe.shape[-1]))  # [B, n+1]
     body = lwe_flat[..., -1]
-    b_hat = pbs_modulus_switch(body, n_poly)  # [B]
+    b_hat = pbs_modulus_switch(body, n_poly, ms_offset, lut_count_log)  # [B]
     # accumulator in poly-major layout [k+1, B, N]: lanes stay the wide N
     # axis, sublanes the batch — no tiny-dimension tile padding in the loop
     lut_b = jnp.broadcast_to(
@@ -191,7 +192,9 @@ def blind_rotate(cfg: ServerConfig, bsk_ntt, lut, lwe):
     acc = jnp.moveaxis(lut_b, 1, 0)  # [k+1, B, N]
     acc = polynomial.negacyclic_monomial_div(acc, b_hat[None, :])
     # modulus-switch every mask element up front (one vectorized op)
-    a_hats = jnp.moveaxis(pbs_modulus_switch(lwe_flat[..., :-1], n_poly), -1, 0)  # [n, B]
+    a_hats = jnp.moveaxis(
+        pbs_modulus_switch(lwe_flat[..., :-1], n_poly, ms_offset, lut_count_log),
+        -1, 0)  # [n, B]
 
     import os
 
@@ -226,6 +229,18 @@ def blind_rotate(cfg: ServerConfig, bsk_ntt, lut, lwe):
     return jnp.moveaxis(acc, 0, 1).reshape(lead + acc.shape[:1] + acc.shape[2:])
 
 
+def sample_extract_nth(glwe, n_th: int):
+    """LWE(dim k*N) of coefficient `n_th` of the GLWE — the
+    lwe_ciphertext_discarding_extraction engine with a MonomialDegree
+    (specification/engines/lwe_ciphertext_discarding_extraction.rs).
+
+    Implemented as X^{-n_th} rotation (a GLWE homomorphism permuting the
+    plaintext coefficients) followed by constant extraction."""
+    from ..math import polynomial as poly_mod
+
+    return sample_extract(poly_mod.negacyclic_monomial_div(glwe, n_th))
+
+
 def sample_extract(glwe):
     """LWE(dim k*N) of coefficient 0 of the GLWE (fourier/mod.rs:750-790).
 
@@ -249,6 +264,24 @@ def bootstrap(cfg: ServerConfig, bsk_ntt, lut, lwe):
     """Full PBS: blind rotate the accumulator, then sample-extract
     (fourier/mod.rs:878-911). lwe: [..., n+1] -> [..., k*N+1]."""
     return sample_extract(blind_rotate(cfg, bsk_ntt, lut, lwe))
+
+
+def bootstrap_many_lut(cfg: ServerConfig, bsk_ntt, lut, lwe,
+                       lut_count_log: int, *, ms_offset: int = 0):
+    """Multi-LUT PBS: one blind rotation evaluates 2^lut_count_log functions.
+
+    Rotation amounts are rounded to multiples of 2^lcl (the LutCountLog /
+    ModulusSwitchOffset knobs of pbs_modulus_switch, fourier/mod.rs:728-748),
+    so the accumulator's coefficient tracks c = t (mod 2^lcl) each carry one
+    packed LUT; track t is extracted at coefficient t. `lut` must interleave
+    the functions: lut[..., c] = f_{c mod 2^lcl}(floor(c / 2^lcl)-th entry).
+    Returns [2^lcl, ..., k*N+1] — one LWE per function.
+    """
+    acc = blind_rotate(cfg, bsk_ntt, lut, lwe, ms_offset=ms_offset,
+                       lut_count_log=lut_count_log)
+    return jnp.stack(
+        [sample_extract_nth(acc, t) for t in range(1 << lut_count_log)], axis=0
+    )
 
 
 def bootstrap_keyswitch(cfg: ServerConfig, bsk_ntt, ksk, lut, lwe):

@@ -47,7 +47,12 @@ import numpy as np
 
 from ..math import decomposition, polynomial
 from . import lwe as lwe_ops
-from .bootstrap import ServerConfig, pbs_modulus_switch, sample_extract
+from .bootstrap import (
+    ServerConfig,
+    pbs_modulus_switch,
+    sample_extract,
+    sample_extract_nth,
+)
 
 # ---------------------------------------------------------------------------
 # plan
@@ -336,7 +341,8 @@ def cmux_mxu(cfg: ServerConfig, rings, ct0, ct1):
 # ---------------------------------------------------------------------------
 
 
-def blind_rotate_mxu(cfg: ServerConfig, bsk_rings, lut, lwe):
+def blind_rotate_mxu(cfg: ServerConfig, bsk_rings, lut, lwe, *,
+                     ms_offset: int = 0, lut_count_log: int = 0):
     """Blind rotation with the toeplitz-matmul CMux chain.
 
     bsk_rings: [n, R, k+1, 2N] u32 (bsk_to_mxu); lut [..., k+1, N] u32;
@@ -348,8 +354,10 @@ def blind_rotate_mxu(cfg: ServerConfig, bsk_rings, lut, lwe):
     lead = lwe.shape[:-1]
     lwe_flat = lwe.reshape((-1, lwe.shape[-1]))
     b = lwe_flat.shape[0]
-    b_hat = pbs_modulus_switch(lwe_flat[..., -1], N)         # [B]
-    a_hats = pbs_modulus_switch(lwe_flat[..., :-1], N)       # [B, n]
+    b_hat = pbs_modulus_switch(
+        lwe_flat[..., -1], N, ms_offset, lut_count_log)      # [B]
+    a_hats = pbs_modulus_switch(
+        lwe_flat[..., :-1], N, ms_offset, lut_count_log)     # [B, n]
     a_hats = jnp.moveaxis(a_hats, -1, 0)                     # [n, B]
 
     lut_b = jnp.broadcast_to(
@@ -378,6 +386,16 @@ def blind_rotate_mxu(cfg: ServerConfig, bsk_rings, lut, lwe):
 def bootstrap_mxu(cfg: ServerConfig, bsk_rings, lut, lwe):
     """Full PBS on the MXU path (fourier/mod.rs:878-911)."""
     return sample_extract(blind_rotate_mxu(cfg, bsk_rings, lut, lwe))
+
+
+def bootstrap_many_lut_mxu(cfg: ServerConfig, bsk_rings, lut, lwe,
+                           lut_count_log: int, *, ms_offset: int = 0):
+    """Multi-LUT PBS on the MXU path (see bootstrap.bootstrap_many_lut)."""
+    acc = blind_rotate_mxu(cfg, bsk_rings, lut, lwe, ms_offset=ms_offset,
+                           lut_count_log=lut_count_log)
+    return jnp.stack(
+        [sample_extract_nth(acc, t) for t in range(1 << lut_count_log)], axis=0
+    )
 
 
 def bootstrap_keyswitch_mxu(cfg: ServerConfig, bsk_rings, ksk, lut, lwe):

@@ -143,8 +143,10 @@ class PbsFixture(Fixture):
 
     name = "pbs"
     PARAMETERS = [
-        {"n": 16, "k": 1, "N": 128, "base_log": 8, "levels": 2},
-        {"n": 12, "k": 2, "N": 64, "base_log": 6, "levels": 3},
+        {"n": 16, "k": 1, "N": 128, "base_log": 8, "levels": 2, "backend": "ntt"},
+        {"n": 12, "k": 2, "N": 64, "base_log": 6, "levels": 3, "backend": "ntt"},
+        {"n": 16, "k": 1, "N": 128, "base_log": 8, "levels": 2, "backend": "mxu"},
+        {"n": 12, "k": 2, "N": 64, "base_log": 6, "levels": 3, "backend": "mxu"},
     ]
     SAMPLE_SIZE = 64
 
@@ -173,7 +175,6 @@ class PbsFixture(Fixture):
             lwe_sk, glwe_sk, p.pbs_base_log, p.pbs_level,
             p.glwe_modular_std_dev.std_dev, gen,
         )
-        bsk_ntt = bsk_to_ntt(bsk.data, cfg.primes, 32)
         eighth = np.uint32(1 << 29)
         neg_eighth = np.uint32((-(1 << 29)) % (1 << 32))
         rng = np.random.default_rng(rep_seed)
@@ -181,9 +182,19 @@ class PbsFixture(Fixture):
         msgs = np.where(signs, eighth, neg_eighth)
         cts = lwe_sk.encrypt(msgs, p.lwe_modular_std_dev.std_dev, gen)
         lut = bs.trivial_lut_constant(cfg, eighth)
-        out = np.array(
-            jax.jit(lambda b, c: bs.bootstrap(cfg, b, lut, c))(bsk_ntt, jnp.asarray(cts))
-        )
+        if params.get("backend") == "mxu":
+            from .core import bootstrap_mxu as bsx
+
+            rings = jnp.asarray(bsx.bsk_to_mxu(bsk.data, cfg))
+            out = np.array(
+                jax.jit(lambda b, c: bsx.bootstrap_mxu(cfg, b, lut, c))(
+                    rings, jnp.asarray(cts))
+            )
+        else:
+            bsk_ntt = bsk_to_ntt(bsk.data, cfg.primes, 32)
+            out = np.array(
+                jax.jit(lambda b, c: bs.bootstrap(cfg, b, lut, c))(bsk_ntt, jnp.asarray(cts))
+            )
         dec = glwe_sk.into_lwe_key().decrypt(out)
         expected = np.where(signs, eighth, neg_eighth)
         predicted = npe.estimate_pbs_noise(
@@ -222,8 +233,10 @@ class ExternalProductFixture(Fixture):
 
     name = "external_product"
     PARAMETERS = [
-        {"k": 1, "N": 128, "base_log": 8, "levels": 2},
-        {"k": 2, "N": 64, "base_log": 6, "levels": 3},
+        {"k": 1, "N": 128, "base_log": 8, "levels": 2, "backend": "ntt"},
+        {"k": 2, "N": 64, "base_log": 6, "levels": 3, "backend": "ntt"},
+        {"k": 1, "N": 128, "base_log": 8, "levels": 2, "backend": "mxu"},
+        {"k": 2, "N": 64, "base_log": 6, "levels": 3, "backend": "mxu"},
     ]
     SAMPLE_SIZE = 32
 
@@ -252,13 +265,22 @@ class ExternalProductFixture(Fixture):
         ggsw = encrypt_constant_ggsw(
             sk, 1, params["base_log"], params["levels"], ggsw_std.std_dev, gen
         )
-        ggsw_ntt = ggsw_to_ntt(ggsw, cfg.primes, 32)
         rng = np.random.default_rng(rep_seed)
         msgs = rng.integers(0, 1 << 32, size=(self.SAMPLE_SIZE, params["N"]), dtype=np.uint32)
         cts = sk.encrypt(msgs, ct_std.std_dev, gen)
-        out = np.array(
-            jax.jit(lambda g, c: bs.external_product(cfg, g, c))(ggsw_ntt, jnp.asarray(cts))
-        )
+        if params.get("backend") == "mxu":
+            from .core import bootstrap_mxu as bsx
+
+            rings = jnp.asarray(bsx.bsk_to_mxu(ggsw[None], cfg)[0])
+            out = np.array(
+                jax.jit(lambda g, c: bsx.external_product_mxu(cfg, g, c))(
+                    rings, jnp.asarray(cts))
+            )
+        else:
+            ggsw_ntt = ggsw_to_ntt(ggsw, cfg.primes, 32)
+            out = np.array(
+                jax.jit(lambda g, c: bs.external_product(cfg, g, c))(ggsw_ntt, jnp.asarray(cts))
+            )
         dec = sk.decrypt(out)
         predicted = npe.estimate_external_product_noise_with_binary_ggsw(
             params["N"], params["k"], ct_std, ggsw_std,
@@ -305,12 +327,126 @@ class PackingKeyswitchFixture(Fixture):
         assert_noise_bounded(dec, pts, predicted, 32, slack_bits=0.75)
 
 
+class LweAffineTransformFixture(Fixture):
+    """Weighted-sum noise matches the NPE weighted-sum formula
+    (lwe_ciphertext_vector_discarding_affine_transformation analog)."""
+
+    name = "lwe_affine_transform"
+    PARAMETERS = [{"dim": 128, "count": 4, "log_std": -20, "bits": 32}]
+
+    def run_one(self, params, rep_seed):
+        bits = params["bits"]
+        sk = lwe_mod.LweSecretKey.generate_binary(
+            params["dim"], SecretRandomGenerator(rep_seed), bits)
+        gen = EncryptionRandomGenerator(rep_seed + 1, rep_seed + 2)
+        std = StandardDev(2.0 ** params["log_std"])
+        rng = np.random.default_rng(rep_seed)
+        count = params["count"]
+        weights = rng.integers(1, 8, size=count).astype(np.int64)
+        bias = np.uint32(rng.integers(0, 1 << 32))
+        pts = rng.integers(0, 1 << 32, size=(count, self.SAMPLE_SIZE), dtype=np.uint32)
+        cts = np.stack([sk.encrypt(p, std.std_dev, gen) for p in pts], axis=1)
+        out = np.array(
+            jax.jit(lambda c: lwe_mod.affine_transform(c, tuple(int(w) for w in weights), bias))(
+                jnp.asarray(cts))
+        )  # cts: [SAMPLE, count, n+1] -> out [SAMPLE, n+1]
+        with np.errstate(over="ignore"):
+            expected = (pts.astype(np.uint64) * weights[:, None].astype(np.uint64)).sum(0) + bias
+        expected = expected.astype(np.uint32)
+        predicted = npe.estimate_weighted_sum_noise(
+            [Variance(std.get_variance())] * count, weights.tolist())
+        assert_noise_bounded(sk.decrypt(out), expected, predicted, bits, slack_bits=0.75)
+
+
+class SampleExtractFixture(Fixture):
+    """Coefficient extraction is exact on zero-noise GLWEs at every degree
+    (lwe_ciphertext_discarding_extraction analog)."""
+
+    name = "sample_extract"
+    PARAMETERS = [{"k": 1, "N": 64}, {"k": 2, "N": 128}]
+
+    def run_one(self, params, rep_seed):
+        sk = glwe_mod.GlweSecretKey.generate_binary(
+            params["k"], params["N"], SecretRandomGenerator(rep_seed))
+        gen = EncryptionRandomGenerator(rep_seed + 1, rep_seed + 2)
+        rng = np.random.default_rng(rep_seed)
+        pt = rng.integers(0, 1 << 32, size=(1, params["N"]), dtype=np.uint32)
+        ct = sk.encrypt(pt, 0.0, gen)
+        big = sk.into_lwe_key()
+        for p in [0, 1, params["N"] // 2, params["N"] - 1]:
+            out = np.asarray(bs.sample_extract_nth(jnp.asarray(ct), p))
+            assert big.decrypt(out[None])[0] == pt[0, p], p
+
+
+class CmuxFixture(Fixture):
+    """CMux selects the right branch and stays within the NPE cmux bound."""
+
+    name = "cmux"
+    PARAMETERS = [
+        {"k": 1, "N": 128, "base_log": 8, "levels": 2, "backend": "ntt"},
+        {"k": 1, "N": 128, "base_log": 8, "levels": 2, "backend": "mxu"},
+    ]
+    SAMPLE_SIZE = 32
+
+    def run_one(self, params, rep_seed):
+        from .core.ggsw import encrypt_constant_ggsw, ggsw_to_ntt
+        from .params import BooleanParameters
+
+        p = BooleanParameters(
+            lwe_dimension=8,
+            glwe_dimension=params["k"],
+            polynomial_size=params["N"],
+            lwe_modular_std_dev=StandardDev(2.0 ** -20),
+            glwe_modular_std_dev=StandardDev(2.0 ** -25),
+            pbs_base_log=params["base_log"],
+            pbs_level=params["levels"],
+            ks_base_log=2,
+            ks_level=5,
+        )
+        cfg = bs.ServerConfig.from_boolean_parameters(p)
+        sk = glwe_mod.GlweSecretKey.generate_binary(
+            params["k"], params["N"], SecretRandomGenerator(rep_seed))
+        gen = EncryptionRandomGenerator(rep_seed + 1, rep_seed + 2)
+        rng = np.random.default_rng(rep_seed)
+        for bit in (0, 1):
+            ggsw = encrypt_constant_ggsw(
+                sk, bit, params["base_log"], params["levels"], 2.0 ** -25, gen)
+            m0 = rng.integers(0, 1 << 32, size=(self.SAMPLE_SIZE, params["N"]),
+                              dtype=np.uint32)
+            m1 = rng.integers(0, 1 << 32, size=(self.SAMPLE_SIZE, params["N"]),
+                              dtype=np.uint32)
+            ct0 = sk.encrypt(m0, 2.0 ** -20, gen)
+            ct1 = sk.encrypt(m1, 2.0 ** -20, gen)
+            if params.get("backend") == "mxu":
+                from .core import bootstrap_mxu as bsx
+
+                rings = jnp.asarray(bsx.bsk_to_mxu(ggsw[None], cfg)[0])
+                out = np.array(bsx.cmux_mxu(
+                    cfg, rings, jnp.asarray(ct0), jnp.asarray(ct1)))
+            else:
+                g_ntt = ggsw_to_ntt(ggsw, cfg.primes, 32)
+                out = np.array(bs.cmux(
+                    cfg, g_ntt, jnp.asarray(ct0), jnp.asarray(ct1)))
+            dec = sk.decrypt(out)
+            want = m1 if bit else m0
+            predicted = npe.estimate_cmux_noise_with_binary_ggsw(
+                params["k"], params["N"],
+                params["base_log"], params["levels"],
+                StandardDev(2.0 ** -20), StandardDev(2.0 ** -20),
+                StandardDev(2.0 ** -25), 32,
+            )
+            assert_noise_bounded(dec, want, predicted, 32, slack_bits=1.0)
+
+
 ALL_FIXTURES = [
     LweEncryptDecryptFixture,
     GlweEncryptDecryptFixture,
     LweKeyswitchFixture,
     ExternalProductFixture,
     PackingKeyswitchFixture,
+    LweAffineTransformFixture,
+    SampleExtractFixture,
+    CmuxFixture,
     PbsFixture,
 ]
 
