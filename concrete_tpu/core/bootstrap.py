@@ -177,6 +177,11 @@ def blind_rotate(cfg: ServerConfig, bsk_ntt, lut, lwe, *, ms_offset: int = 0,
     data dependency); all batch lanes advance together
     (fourier/mod.rs:666-726).
     """
+    from . import checks
+
+    checks.check_bsk_ntt(bsk_ntt, cfg)
+    checks.check_lwe(lwe, cfg.lwe_dimension)
+    checks.check_glwe(lut, cfg.glwe_size, cfg.polynomial_size, "accumulator")
     n_poly = cfg.polynomial_size
     sp = ntt.make_stacked_plans(cfg.polynomial_size, cfg.primes)
     lead = lwe.shape[:-1]

@@ -349,6 +349,11 @@ def blind_rotate_mxu(cfg: ServerConfig, bsk_rings, lut, lwe, *,
     lwe [..., n+1] u32. Returns the rotated accumulator [..., k+1, N].
     Bit-identical to bootstrap.blind_rotate (both are exact mod 2^32).
     """
+    from . import checks
+
+    checks.check_bsk_mxu(bsk_rings, cfg)
+    checks.check_lwe(lwe, cfg.lwe_dimension)
+    checks.check_glwe(lut, cfg.glwe_size, cfg.polynomial_size, "accumulator")
     plan = MxuPlan.from_config(cfg)
     N, ks1 = plan.polynomial_size, plan.glwe_size
     lead = lwe.shape[:-1]

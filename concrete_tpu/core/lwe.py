@@ -195,6 +195,10 @@ def keyswitch(ksk_data, ct, *, base_log: int, level_count: int):
     ksk[i, level] rows. The contraction over (n_in, l) runs as a single
     integer matmul (wrapping two's-complement accumulation == mod q).
     """
+    from . import checks
+
+    checks.check_keyswitch_key(
+        ksk_data, ct.shape[-1] - 1, level_count, ksk_data.shape[-1] - 1)
     bits = jnp.dtype(ct.dtype).itemsize * 8
     sdt = _JNP_SIGNED[bits]
     mask = ct[..., :-1]

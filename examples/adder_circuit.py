@@ -1,6 +1,11 @@
 """8-bit homomorphic ripple-carry adder over an encrypted batch
 (BASELINE config 5)."""
 
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 import numpy as np
 
 from concrete_tpu import boolean

@@ -1,6 +1,11 @@
 """Homomorphic boolean gates end to end (concrete-boolean's README example,
 batched)."""
 
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 import numpy as np
 
 from concrete_tpu import boolean

@@ -1,6 +1,11 @@
 """Programmable bootstrapping with an arbitrary real function (the
 `concrete` crate's LWE::bootstrap_with_function, lwe/mod.rs:1781)."""
 
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 import numpy as np
 
 from concrete_tpu.highlevel import (
