@@ -107,3 +107,40 @@ def report_pbs_efficiency(cfg, batch: int, measured_seconds: float) -> dict:
         "measured_s": measured_seconds,
         "efficiency": sol / measured_seconds if measured_seconds else 0.0,
     }
+
+
+def mxu_external_product_roofline(
+    n_iterations: int,
+    poly_size: int,
+    glwe_size: int,
+    level: int,
+    n_sub: int,
+    n_limbs: int,
+    batch: int,
+    mxu_macs_per_s: float = 1.97e14,
+) -> Roofline:
+    """Blind rotation on the toeplitz-matmul path (core/bootstrap_mxu.py).
+
+    The dominant term is the int8 MXU dot per CMux:
+    [B, R*N] x [R*N, (k+1)*n_limbs*N] with R = level*(k+1)*n_sub. HBM
+    traffic per iteration: the compact rings in, the built RHS out+in, the
+    S accumulator out+in, the digit matrix, and the accumulator update.
+    """
+    big_n = poly_size
+    rows = level * glwe_size * n_sub * big_n
+    cols = glwe_size * n_limbs * big_n
+    macs = n_iterations * batch * rows * cols
+    rhs_bytes = rows * cols
+    s_bytes = batch * cols * 4
+    acc_bytes = glwe_size * batch * big_n * 4
+    per_iter_hbm = 2 * rhs_bytes + 2 * s_bytes + batch * rows + 3 * acc_bytes
+    r = Roofline(
+        name=f"mxu_blind_rotate(N={big_n}, B={batch})",
+        lane_ops=0.0,
+        hbm_bytes=float(n_iterations * per_iter_hbm),
+    )
+    # report the MXU bound through lane_ops-equivalent by reusing the field:
+    # bound_seconds() callers should use mxu_bound_seconds for this op.
+    r.mxu_macs = float(macs)  # type: ignore[attr-defined]
+    r.mxu_bound_s = macs / mxu_macs_per_s  # type: ignore[attr-defined]
+    return r
