@@ -438,6 +438,53 @@ class CmuxFixture(Fixture):
             assert_noise_bounded(dec, want, predicted, 32, slack_bits=1.0)
 
 
+class U64PbsFixture(Fixture):
+    """u64-torus PBS (the highlevel regime) within the NPE bound, both
+    backends — Precision64 of the reference's fixture instantiation."""
+
+    name = "pbs_u64"
+    PARAMETERS = [
+        {"n": 10, "k": 1, "N": 64, "base_log": 10, "levels": 3, "backend": "ntt"},
+        {"n": 10, "k": 1, "N": 64, "base_log": 10, "levels": 3, "backend": "mxu"},
+    ]
+    SAMPLE_SIZE = 32
+
+    def run_one(self, params, rep_seed):
+        cfg = bs.ServerConfig(
+            lwe_dimension=params["n"], glwe_dimension=params["k"],
+            polynomial_size=params["N"], pbs_base_log=params["base_log"],
+            pbs_level=params["levels"], ks_base_log=4, ks_level=3, bits=64)
+        sgen = SecretRandomGenerator(rep_seed)
+        lwe_sk = lwe_mod.LweSecretKey.generate_binary(params["n"], sgen, bits=64)
+        glwe_sk = glwe_mod.GlweSecretKey.generate_binary(
+            params["k"], params["N"], sgen, bits=64)
+        gen = EncryptionRandomGenerator(rep_seed + 1, rep_seed + 2)
+        bsk_std = StandardDev(2.0 ** -45)
+        bsk = StandardBootstrapKey.generate(
+            lwe_sk, glwe_sk, params["base_log"], params["levels"],
+            bsk_std.std_dev, gen)
+        big = np.uint64(1) << np.uint64(60)
+        neg = (np.uint64(0) - big).astype(np.uint64)
+        rng = np.random.default_rng(rep_seed)
+        signs = rng.integers(0, 2, size=self.SAMPLE_SIZE).astype(bool)
+        msgs = np.where(signs, big, neg)
+        cts = lwe_sk.encrypt(msgs, 2.0 ** -30, gen)
+        lut = bs.trivial_lut_constant(cfg, big)
+        if params.get("backend") == "mxu":
+            from .core import bootstrap_mxu as bsx
+
+            rings = jnp.asarray(bsx.bsk_to_mxu(bsk.data, cfg))
+            out = np.array(bsx.bootstrap_mxu(cfg, rings, lut, jnp.asarray(cts)))
+        else:
+            bsk_ntt = bsk_to_ntt(bsk.data, cfg.primes, 64)
+            out = np.array(bs.bootstrap(cfg, bsk_ntt, lut, jnp.asarray(cts)))
+        dec = glwe_sk.into_lwe_key().decrypt(out)
+        predicted = npe.estimate_pbs_noise(
+            params["n"], params["N"], params["k"], params["base_log"],
+            params["levels"], bsk_std, 64)
+        assert_noise_bounded(dec, msgs, predicted, 64, slack_bits=0.75)
+
+
 ALL_FIXTURES = [
     LweEncryptDecryptFixture,
     GlweEncryptDecryptFixture,
@@ -448,6 +495,7 @@ ALL_FIXTURES = [
     SampleExtractFixture,
     CmuxFixture,
     PbsFixture,
+    U64PbsFixture,
 ]
 
 
