@@ -23,6 +23,14 @@ def gen_keys(
     """Generate a (client, server) key pair (concrete-boolean/src/lib.rs:96).
 
     Seeds are optional; fixing all three makes keygen bit-reproducible.
+
+    >>> import numpy as np
+    >>> from concrete_tpu import boolean
+    >>> from tests_support import TINY_PARAMS  # doctest: +SKIP
+    >>> cks, sks = boolean.gen_keys(secret_seed=1, mask_seed=2, noise_seed=3)  # doctest: +SKIP
+    >>> ct = sks.and_(cks.encrypt(np.array([True])), cks.encrypt(np.array([True])))  # doctest: +SKIP
+    >>> bool(cks.decrypt(np.asarray(ct))[0])  # doctest: +SKIP
+    True
     """
     cks = ClientKey.new(parameters, secret_seed=secret_seed)
     sks = ServerKey.new(cks, mask_seed=mask_seed, noise_seed=noise_seed)

@@ -84,7 +84,20 @@ def _key_to_bytes(key: int | bytes | None) -> bytes:
 
 
 class AesCtrGenerator:
-    """A CSPRNG operating in batch counter mode (counter/mod.rs:224)."""
+    """A CSPRNG operating in batch counter mode (counter/mod.rs:224).
+
+    >>> g = AesCtrGenerator(key=1)
+    >>> first = g.generate_bytes(8)
+    >>> g2 = AesCtrGenerator(key=1)
+    >>> (g2.generate_bytes(8) == first).all()          # deterministic
+    np.True_
+    >>> kids = g.try_fork(2, 16)
+    >>> kids[0].remaining_bytes(), kids[1].remaining_bytes()
+    (16, 16)
+    >>> a = kids[0].generate_bytes(16); b = kids[1].generate_bytes(16)
+    >>> (a == b).all()                                  # disjoint streams
+    np.False_
+    """
 
     def __init__(
         self,

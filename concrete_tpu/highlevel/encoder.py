@@ -47,7 +47,13 @@ class Encoder:
 
     @classmethod
     def new(cls, min_: float, max_: float, nb_bit_precision: int, nb_bit_padding: int):
-        """Interval [min, max] with a half-granularity margin (encoder/mod.rs:59)."""
+        """Interval [min, max] with a half-granularity margin (encoder/mod.rs:59).
+
+        >>> from concrete_tpu.highlevel import Encoder
+        >>> e = Encoder.new(0.0, 10.0, nb_bit_precision=5, nb_bit_padding=2)
+        >>> float(e.decode_core(e.encode_core(4.0))) - 4.0 < e.get_granularity()
+        True
+        """
         if min_ >= max_:
             raise errors.MinMaxError(min_, max_)
         if nb_bit_precision == 0:

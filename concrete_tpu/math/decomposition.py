@@ -70,7 +70,15 @@ def decompose_levels(x, base_log: int, levels: int):
 
 
 def decompose_rounded(x, base_log: int, levels: int):
-    """closest_representable + decompose_levels (decomposer.rs:169-186)."""
+    """closest_representable + decompose_levels (decomposer.rs:169-186).
+
+    >>> import numpy as np, jax.numpy as jnp
+    >>> x = jnp.asarray(np.array([0x12345678], dtype=np.uint32))
+    >>> d = decompose_rounded(x, base_log=8, levels=2)
+    >>> recomposed = recompose(d, 8, 2, jnp.uint32)
+    >>> hex(int(recomposed[0]))                  # top 16 bits, rounded
+    '0x12340000'
+    """
     return decompose_levels(closest_representable(x, base_log, levels), base_log, levels)
 
 

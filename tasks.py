@@ -1,6 +1,6 @@
 """Task runner — the concrete-tasks (cargo xtask) analog.
 
-Usage: python tasks.py {test|test-fast|fixtures|bench|bench-suite|check|cov}
+Usage: python tasks.py {test|test-fast|fixtures|bench|bench-suite|doctest|check|cov}
 Reference: concrete-tasks/src/main.rs:57-96.
 """
 
@@ -30,6 +30,8 @@ def main():
         sys.exit(run([sys.executable, "bench.py"]))
     if cmd == "bench-suite":
         sys.exit(run([sys.executable, "benchmarks/suite.py"]))
+    if cmd == "doctest":
+        sys.exit(run([sys.executable, "-m", "pytest", "tests/test_doctests.py", "-q"]))
     if cmd == "check":
         sys.exit(run([sys.executable, "-m", "compileall", "-q", "concrete_tpu"]))
     if cmd == "cov":
