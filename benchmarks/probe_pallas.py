@@ -1,5 +1,11 @@
 """Pallas feature/perf probes for the toeplitz-matmul blind rotate design.
 
+CAVEAT: the in-kernel repetition loops accumulate loop-invariant expressions,
+which the compiler may CSE — treat the per-pass numbers as upper bounds on
+throughput. The design numbers in docs/performance.md come from the chained
+output-feeds-input measurements (micro_mxu.py / timing.py), which cannot be
+CSE'd.
+
 Measures on the real chip:
   1. VMEM scratch capacity
   2. in-kernel i8 matmul TOPS (deep K, VMEM-resident, chained)

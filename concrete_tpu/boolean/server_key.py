@@ -60,7 +60,13 @@ class ServerKey:
     def resolved_backend(self) -> str:
         if self.backend != "auto":
             return self.backend
-        return "mxu" if (bsx._on_tpu() and self.cfg.bits == 32) else "ntt"
+        if not (bsx._on_tpu() and self.cfg.bits == 32):
+            return "ntt"
+        try:  # configs outside the mxu plan's envelope fall back to ntt
+            bsx.MxuPlan.from_config(self.cfg)
+        except NotImplementedError:
+            return "ntt"
+        return "mxu"
 
     @property
     def bsk_ntt(self) -> jax.Array:
@@ -110,7 +116,15 @@ class ServerKey:
             p.lwe_modular_std_dev.std_dev,
             gen,
         )
-        del keep_standard_bsk  # always kept now (canonical stored form)
+        if not keep_standard_bsk:
+            import warnings
+
+            warnings.warn(
+                "keep_standard_bsk is deprecated and ignored: the coefficient"
+                " BSK is the canonical stored form now",
+                DeprecationWarning,
+                stacklevel=2,
+            )
         return cls(
             ksk=jnp.asarray(ksk.data),
             cfg=cfg,

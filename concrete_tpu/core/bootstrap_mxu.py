@@ -82,6 +82,12 @@ class MxuPlan:
         s = max(0, cfg.pbs_base_log - 7)
         if cfg.pbs_base_log > 14:
             raise NotImplementedError("pbs_base_log > 14 needs a 3-way split")
+        n_sub = 2 if s else 1
+        k_rows = cfg.pbs_level * (cfg.glwe_dimension + 1) * n_sub * cfg.polynomial_size
+        if k_rows * 64 * 128 >= 2 ** 31:
+            raise NotImplementedError(
+                f"int32 MXU accumulation bound exceeded (K={k_rows}): "
+                "use the ntt backend for this configuration")
         return cls(
             lwe_dimension=cfg.lwe_dimension,
             glwe_size=cfg.glwe_size,
@@ -296,14 +302,13 @@ def _digit_matrix(plan: MxuPlan, diff):
     return jnp.concatenate(parts, axis=1)                 # [B, R*N]
 
 
-def _toeplitz_matmul(plan: MxuPlan, d8, rhs):
-    """d8 [B, R*N] i8  x  rhs [R*N, (k+1)*n_limbs*N] i8 -> [k+1, B, N]
-    u32/u64: the exact external-product sum mod 2^bits (one MXU dot over
-    K = R*N, wrapping limb recombination via pure lane slices)."""
+def recombine_limb_planes(plan: MxuPlan, s):
+    """[B, (kj, m, c)] i32 dot output -> [k+1, B, N] torus values.
+
+    Wrapping limb recombination via pure lane slices — the mod-2^bits
+    reduction IS the two's-complement wrap. Shared by the single-device dot
+    and the tp-sharded pipeline (partial sums psum'd before recombining)."""
     N, ks1, nl = plan.polynomial_size, plan.glwe_size, plan.n_limbs
-    s = jax.lax.dot_general(
-        d8, rhs, (((1,), (0,)), ((), ())), preferred_element_type=jnp.int32
-    )                                                       # [B, (kj, m, c)]
     acc_t = jnp.int32 if plan.bits == 32 else jnp.int64
     out_t = jnp.uint32 if plan.bits == 32 else jnp.uint64
     outs = []
@@ -316,6 +321,16 @@ def _toeplitz_matmul(plan: MxuPlan, d8, rhs):
         outs.append(o)
     out = jnp.stack(outs, axis=0)                           # [k+1, B, N]
     return jax.lax.bitcast_convert_type(out, out_t)
+
+
+def _toeplitz_matmul(plan: MxuPlan, d8, rhs):
+    """d8 [B, R*N] i8  x  rhs [R*N, (k+1)*n_limbs*N] i8 -> [k+1, B, N]
+    u32/u64: the exact external-product sum mod 2^bits (one MXU dot over
+    K = R*N, wrapping limb recombination)."""
+    s = jax.lax.dot_general(
+        d8, rhs, (((1,), (0,)), ((), ())), preferred_element_type=jnp.int32
+    )                                                       # [B, (kj, m, c)]
+    return recombine_limb_planes(plan, s)
 
 
 def external_product_mxu(cfg: ServerConfig, rings, glwe):

@@ -186,6 +186,17 @@ class LweKeyswitchKey:
         return cls(data=data, base_log=base_log, level_count=l, bits=bits)
 
 
+def _ks_digits(ct, base_log: int, level_count: int):
+    """Rounded small-sign decomposition of the mask, flattened to
+    [..., n_in*l] signed digits, plus the body."""
+    mask = ct[..., :-1]
+    body = ct[..., -1]
+    rounded = decomposition.closest_representable(mask, base_log, level_count)
+    digits = decomposition.small_sign_decompose(rounded, base_log, level_count)
+    lead = digits.shape[:-2]
+    return digits.reshape(lead + (-1,)), body
+
+
 def keyswitch(ksk_data, ct, *, base_log: int, level_count: int):
     """Switch a batch of ciphertexts to the output key — jittable.
 
@@ -194,6 +205,9 @@ def keyswitch(ksk_data, ct, *, base_log: int, level_count: int):
     decomposition lattice, small-sign-decompose, and subtract digit *
     ksk[i, level] rows. The contraction over (n_in, l) runs as a single
     integer matmul (wrapping two's-complement accumulation == mod q).
+
+    For the u64 torus the contraction runs on byte limb planes (the TPU has
+    no 64-bit dot): see ksk_to_limbs / keyswitch_limbs — bit-identical.
     """
     from . import checks
 
@@ -201,13 +215,7 @@ def keyswitch(ksk_data, ct, *, base_log: int, level_count: int):
         ksk_data, ct.shape[-1] - 1, level_count, ksk_data.shape[-1] - 1)
     bits = jnp.dtype(ct.dtype).itemsize * 8
     sdt = _JNP_SIGNED[bits]
-    mask = ct[..., :-1]
-    body = ct[..., -1]
-    rounded = decomposition.closest_representable(mask, base_log, level_count)
-    digits = decomposition.small_sign_decompose(rounded, base_log, level_count)
-    # [..., n_in, l] signed -> flatten the contraction axes
-    lead = digits.shape[:-2]
-    flat = digits.reshape(lead + (-1,))
+    flat, body = _ks_digits(ct, base_log, level_count)
     n_rows = flat.shape[-1]
     kflat = jax.lax.bitcast_convert_type(ksk_data, sdt).reshape(n_rows, -1)
     acc = jax.lax.dot_general(
@@ -217,4 +225,53 @@ def keyswitch(ksk_data, ct, *, base_log: int, level_count: int):
         preferred_element_type=sdt,
     )
     out = jax.lax.bitcast_convert_type(jnp.zeros_like(acc) - acc, ct.dtype)
+    return out.at[..., -1].add(body)
+
+
+def ksk_to_limbs(ksk_data) -> np.ndarray:
+    """Prepare a keyswitch key for the limb-plane contraction:
+    [n_in, l, n_out+1] u32/u64 -> int8 [n_in*l, n_limbs*(n_out+1)],
+    columns m-major (limb plane m contiguous).
+
+    Entries are *balanced* signed-byte limbs (sum_m c_m 2^{8m} == v mod 2^q),
+    computed once per key on the host — the same decomposition the MXU
+    bootstrap uses (core/bootstrap_mxu._limb_pack)."""
+    from .bootstrap_mxu import _limb_pack
+
+    k = np.asarray(ksk_data)
+    bits = k.dtype.itemsize * 8
+    n_limbs = bits // 8
+    packed = _limb_pack(k.reshape(-1))                   # carries applied
+    limbs = np.stack(
+        [((packed >> k.dtype.type(8 * m)) & k.dtype.type(0xFF)).astype(np.int8)
+         for m in range(n_limbs)],
+        axis=0,
+    )  # [n_limbs, n_in*l*(n_out+1)]
+    n_in, l, out_sz = k.shape
+    limbs = limbs.reshape(n_limbs, n_in * l, out_sz)
+    return np.moveaxis(limbs, 0, 1).reshape(n_in * l, n_limbs * out_sz)
+
+
+def keyswitch_limbs(ksk8, ct, *, base_log: int, level_count: int):
+    """Keyswitch against a limb-prepared key (ksk_to_limbs) — the TPU path
+    for the u64 torus (int8 MXU dot + wrapping recombination, exact mod 2^q;
+    bit-identical to `keyswitch`). Digits must fit int8 (base_log <= 7)."""
+    assert base_log <= 7, "limb keyswitch needs int8 digits (base_log <= 7)"
+    bits = jnp.dtype(ct.dtype).itemsize * 8
+    n_limbs = bits // 8
+    out_sz = ksk8.shape[-1] // n_limbs
+    flat, body = _ks_digits(ct, base_log, level_count)
+    neg = (-flat).astype(jnp.int8)                       # fold the subtraction in
+    s = jax.lax.dot_general(
+        neg,
+        ksk8,
+        (((neg.ndim - 1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )                                                    # [..., n_limbs*out_sz]
+    acc_t = _JNP_SIGNED[bits]
+    out = s[..., :out_sz].astype(acc_t)
+    for m in range(1, n_limbs):
+        out = out + (s[..., m * out_sz:(m + 1) * out_sz].astype(acc_t)
+                     << acc_t(8 * m))                    # wrapping mod 2^q
+    out = jax.lax.bitcast_convert_type(out, ct.dtype)
     return out.at[..., -1].add(body)

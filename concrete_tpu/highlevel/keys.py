@@ -108,7 +108,13 @@ class LWEBSK:
 
         if self.backend != "auto":
             return self.backend
-        return "mxu" if bsx._on_tpu() else "ntt"
+        if not bsx._on_tpu():
+            return "ntt"
+        try:  # configs outside the mxu plan's envelope fall back to ntt
+            bsx.MxuPlan.from_config(self.cfg)
+        except NotImplementedError:
+            return "ntt"
+        return "mxu"
 
     @property
     def bsk_ntt(self):
@@ -160,7 +166,15 @@ class LWEBSK:
         std_bsk = StandardBootstrapKey.generate(
             sk_input.inner, sk_output.inner, base_log, level, sk_output.std_dev, gen
         )
-        del keep_coefficient_bsk  # always kept (canonical stored form)
+        if not keep_coefficient_bsk:
+            import warnings
+
+            warnings.warn(
+                "keep_coefficient_bsk is deprecated and ignored: the"
+                " coefficient BSK is the canonical stored form now",
+                DeprecationWarning,
+                stacklevel=2,
+            )
         return cls(
             cfg=cfg,
             variance=sk_output.variance,
@@ -223,10 +237,30 @@ class LWEBSK:
 
 @dataclasses.dataclass
 class LWEKSK:
-    """Keyswitching key (lwe_ksk.rs:14)."""
+    """Keyswitching key (lwe_ksk.rs:14).
+
+    On TPU the u64 contraction runs on prepared int8 limb planes (the
+    backend has no 64-bit dot); bit-identical to the plain path."""
 
     inner: LweKeyswitchKey
     variance: float
+    _limbs: object = dataclasses.field(default=None, repr=False)
+
+    def run_keyswitch(self, cts):
+        """Keyswitch a [..., n_in+1] batch on the best available path."""
+        import jax.numpy as jnp
+
+        from ..core import bootstrap_mxu as bsx
+        from ..core import lwe as lwe_ops
+
+        if bsx._on_tpu() and self.base_log <= 7:
+            if self._limbs is None:
+                self._limbs = jnp.asarray(lwe_ops.ksk_to_limbs(self.inner.data))
+            return lwe_ops.keyswitch_limbs(
+                self._limbs, cts, base_log=self.base_log, level_count=self.level)
+        return lwe_ops.keyswitch(
+            jnp.asarray(self.inner.data), cts,
+            base_log=self.base_log, level_count=self.level)
 
     @classmethod
     def new(

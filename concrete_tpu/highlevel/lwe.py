@@ -328,14 +328,7 @@ class LWE:
 
     def keyswitch(self, ksk: LWEKSK) -> "LWE":
         """Switch to the output key (lwe/mod.rs:1643)."""
-        out_data = np.array(
-            lwe_ops.keyswitch(
-                jnp.asarray(ksk.inner.data),
-                jnp.asarray(self.data),
-                base_log=ksk.base_log,
-                level_count=ksk.level,
-            )
-        )
+        out_data = np.array(ksk.run_keyswitch(jnp.asarray(self.data)))
         new_var = npe.estimate_keyswitch_noise_with_constant_terms(
             self.dimension,
             Variance(self.variance),

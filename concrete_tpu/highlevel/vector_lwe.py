@@ -192,14 +192,7 @@ class VectorLWE:
     # -- keyswitch / bootstrap -------------------------------------------------------
 
     def keyswitch(self, ksk: LWEKSK) -> "VectorLWE":
-        out_data = np.array(
-            lwe_ops.keyswitch(
-                jnp.asarray(ksk.inner.data),
-                jnp.asarray(self.data),
-                base_log=ksk.base_log,
-                level_count=ksk.level,
-            )
-        )
+        out_data = np.array(ksk.run_keyswitch(jnp.asarray(self.data)))
         out = self.copy()
         out.data = out_data
         for i in range(self.nb_ciphertexts):

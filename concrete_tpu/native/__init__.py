@@ -31,6 +31,9 @@ def _lib_path() -> str:
 
 
 def _build(lib: str) -> bool:
+    """Compile to a temp path and rename into place (atomic on POSIX), so
+    concurrent processes never load a half-written library."""
+    tmp = f"{lib}.tmp.{os.getpid()}"
     cmd = [
         os.environ.get("CXX", "g++"),
         "-O3",
@@ -39,13 +42,22 @@ def _build(lib: str) -> bool:
         "-std=c++17",
         _SRC,
         "-o",
-        lib,
+        tmp,
     ]
     try:
         res = subprocess.run(cmd, capture_output=True, timeout=120)
-        return res.returncode == 0
+        if res.returncode != 0:
+            return False
+        os.replace(tmp, lib)
+        return True
     except Exception:
         return False
+    finally:
+        if os.path.exists(tmp):
+            try:
+                os.remove(tmp)
+            except OSError:
+                pass
 
 
 @functools.lru_cache(maxsize=1)

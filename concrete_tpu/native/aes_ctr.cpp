@@ -181,8 +181,12 @@ void ctpu_aes128_ctr_fill(const uint8_t* round_keys, uint64_t ctr_lo,
   while (done < n) {
     size_t m = n - done < CHUNK ? n - done : CHUNK;
     for (size_t i = 0; i < m; ++i) {
-      std::memcpy(blocks + 16 * i, &ctr_lo, 8);
-      std::memcpy(blocks + 16 * i + 8, &ctr_hi, 8);
+      // explicit little-endian, matching the numpy reference path exactly
+      // regardless of host byte order (bit-identity contract)
+      for (int b = 0; b < 8; ++b) {
+        blocks[16 * i + b] = static_cast<uint8_t>(ctr_lo >> (8 * b));
+        blocks[16 * i + 8 + b] = static_cast<uint8_t>(ctr_hi >> (8 * b));
+      }
       if (++ctr_lo == 0) ++ctr_hi;
     }
     ctpu_aes128_encrypt_blocks(round_keys, blocks, out + 16 * done, m);

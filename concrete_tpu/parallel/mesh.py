@@ -212,15 +212,8 @@ def gate_pipeline_dp_tp_mxu(cfg: bs.ServerConfig, mesh: Mesh):
             s = jax.lax.dot_general(
                 my, rhs, (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.int32)
-            s = jax.lax.psum(s, "tp")                # wrapping == exact mod 2^32
-            outs = []
-            for kj in range(cfg.glwe_size):
-                o = s[:, kj * 4 * N: kj * 4 * N + N]
-                for m in range(1, 4):
-                    c0 = (kj * 4 + m) * N
-                    o = o + (s[:, c0:c0 + N] << np.int32(8 * m))
-                outs.append(o)
-            upd = jax.lax.bitcast_convert_type(jnp.stack(outs, axis=0), jnp.uint32)
+            s = jax.lax.psum(s, "tp")         # wrapping == exact mod 2^bits
+            upd = bsx.recombine_limb_planes(plan, s)
             return acc + upd, None
 
         acc, _ = jax.lax.scan(step, acc, (rings_shard, a_hats))

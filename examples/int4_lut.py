@@ -41,7 +41,8 @@ def main():
     xs = np.array([0.0, 1.0, 5.0, 9.0, 15.0])
     v = VectorLWE.encode_encrypt(sk, xs, enc_in)
     out = v.bootstrap_all_with_function(bsk, table, enc_out)
-    got = np.round(out.decrypt_decode(rlwe_sk.to_lwe_secret_key()))
+    out = out.keyswitch(ksk)               # back to the small key
+    got = np.round(out.decrypt_decode(sk))
     want = [(3 * int(x) + 1) % 16 for x in xs]
     print("LUT(3x+1 mod 16) of", xs.astype(int).tolist(), "->", got.astype(int).tolist(),
           "(expect", want, ")")

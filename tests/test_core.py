@@ -237,3 +237,21 @@ def test_full_pbs_noise_vs_npe():
     assert_noise_bounded(dec, expected, predicted, 32, slack_bits=0.75)
     # and every sample decodes to the right boolean
     assert (np.abs(torus_modular_distance(dec, expected, 32)) < 1 / 16).all()
+
+
+def test_keyswitch_limbs_bit_identical_both_widths():
+    """The limb-plane keyswitch (int8 MXU dot, the TPU u64 path) matches the
+    plain integer-dot keyswitch bit for bit."""
+    from concrete_tpu.core import lwe as lwe_ops
+
+    rng = np.random.default_rng(0)
+    n_in, l, n_out = 64, 5, 32
+    for dt, hi in [(np.uint32, 1 << 32), (np.uint64, 1 << 63)]:
+        ksk = rng.integers(0, hi, size=(n_in, l, n_out + 1), dtype=dt)
+        ct = jnp.asarray(rng.integers(0, hi, size=(7, n_in + 1), dtype=dt))
+        want = np.asarray(lwe_ops.keyswitch(
+            jnp.asarray(ksk), ct, base_log=4, level_count=l))
+        ksk8 = jnp.asarray(lwe_ops.ksk_to_limbs(ksk))
+        got = np.asarray(lwe_ops.keyswitch_limbs(
+            ksk8, ct, base_log=4, level_count=l))
+        np.testing.assert_array_equal(got, want)
