@@ -143,6 +143,23 @@ def main():
 
 
 
+    # PBS sweep over polynomial sizes — the reference's engine-bench grid
+    # (concrete-benchmark/src/generics/lwe_ciphertext_discarding_bootstrap.rs:
+    #  n=100, B=2^2, l=3, N in {256..4096})
+    if not want or "pbs_sweep" in want:
+        from concrete_tpu.core import bootstrap_mxu as bsx2
+
+        for N in ([512, 1024] if args.quick else [256, 512, 1024, 2048]):
+            cfg = bs.ServerConfig(
+                lwe_dimension=100, glwe_dimension=1, polynomial_size=N,
+                pbs_base_log=2, pbs_level=3, ks_base_log=2, ks_level=5)
+            bsk_raw = rng.integers(0, 1 << 32, size=(100, 3, 2, 2, N), dtype=np.uint32)
+            rings = jnp.asarray(bsx2.bsk_to_mxu(bsk_raw, cfg))
+            lut = bs.trivial_lut_constant(cfg, np.uint32(1 << 29))
+            cts = jnp.asarray(rng.integers(0, 1 << 32, size=(B, 101), dtype=np.uint32))
+            f = jax.jit(lambda r, c, cfg=cfg, lut=lut: bsx2.bootstrap_mxu(cfg, r, lut, c))
+            record(f"pbs_sweep_N{N}", "n100_b4_l3", _timeit(f, rings, cts), B)
+
     # host-side CSPRNG throughput (native AES-CTR when available);
     # parameter-independent, so measured once
     if not want or "csprng" in want:
