@@ -68,21 +68,22 @@ class MxuPlan:
     polynomial_size: int
     base_log: int
     level: int
-    split_shift: int        # s: digits split as d = 2^s d_hi + d_lo (s=0: none)
+    n_sub: int              # sub-digits per gadget digit (int8-fitting chunks)
     ks_base_log: int
     ks_level: int
     bits: int = 32          # torus width: 32 (boolean) or 64 (highlevel)
+
+    # balanced 7-bit chunking: d = sum_j 2^{7j} e_j, every e_j in [-64, 64]
+    SUB_CHUNK_BITS = 7
 
     @classmethod
     def from_config(cls, cfg: ServerConfig) -> "MxuPlan":
         if cfg.bits not in (32, 64):
             raise NotImplementedError("mxu bootstrap path: u32/u64 torus only")
-        # |digit| <= B/2; int8 operands must stay within [-128, 127] and the
-        # split-high digit within +-64 so i32 accumulation stays exact.
-        s = max(0, cfg.pbs_base_log - 7)
-        if cfg.pbs_base_log > 14:
-            raise NotImplementedError("pbs_base_log > 14 needs a 3-way split")
-        n_sub = 2 if s else 1
+        # |digit| <= B/2; int8 operands must stay within [-128, 127] and every
+        # sub-digit within +-64 so i32 accumulation stays exact.
+        bl = cfg.pbs_base_log
+        n_sub = 1 if bl <= 7 else (bl - 8) // 7 + 2
         k_rows = cfg.pbs_level * (cfg.glwe_dimension + 1) * n_sub * cfg.polynomial_size
         if k_rows * 64 * 128 >= 2 ** 31:
             raise NotImplementedError(
@@ -92,17 +93,17 @@ class MxuPlan:
             lwe_dimension=cfg.lwe_dimension,
             glwe_size=cfg.glwe_size,
             polynomial_size=cfg.polynomial_size,
-            base_log=cfg.pbs_base_log,
+            base_log=bl,
             level=cfg.pbs_level,
-            split_shift=s,
+            n_sub=n_sub,
             ks_base_log=cfg.ks_base_log,
             ks_level=cfg.ks_level,
             bits=cfg.bits,
         )
 
-    @property
-    def n_sub(self) -> int:
-        return 2 if self.split_shift else 1
+    def sub_multiplier(self, sub: int) -> int:
+        """2^{7j} weight of sub-digit `sub` (sub=0 = most significant)."""
+        return 1 << (self.SUB_CHUNK_BITS * (self.n_sub - 1 - sub))
 
     @property
     def n_words(self) -> int:
@@ -156,8 +157,7 @@ def bsk_to_mxu(bsk_data, cfg: ServerConfig):
     with np.errstate(over="ignore"):
         for lev in range(l):
             for sub in range(plan.n_sub):
-                mult = dt(1 << plan.split_shift) if (
-                    plan.n_sub == 2 and sub == 0) else dt(1)
+                mult = dt(plan.sub_multiplier(sub))
                 for ki in range(ks1):
                     g = bsk[:, lev, ki, :, :] * mult  # [n, k+1, N] wrapping
                     pos = _limb_pack(g)
@@ -289,13 +289,22 @@ def _digit_matrix(plan: MxuPlan, diff):
     parts = []
     for lev in range(plan.level):
         d = digits[..., lev]                       # [k+1, B, N]
-        if plan.n_sub == 2:
-            s = plan.split_shift
-            d_hi = (d + np.int32(1 << (s - 1))) >> np.int32(s)
-            d_lo = d - (d_hi << np.int32(s))
-            subs = (d_hi, d_lo)
-        else:
+        if plan.n_sub == 1:
             subs = (d,)
+        else:
+            # LSB-first balanced 7-bit chunks, emitted MSB-first to match the
+            # (lev, sub, ki) ring order: d = sum_j 2^{7j} e_j, |e_j| <= 64
+            w = MxuPlan.SUB_CHUNK_BITS
+            half = np.int32(1 << (w - 1))
+            msk = np.int32((1 << w) - 1)
+            rem = d
+            chunks = []
+            for _ in range(plan.n_sub - 1):
+                e = ((rem + half) & msk) - half
+                rem = (rem - e) >> np.int32(w)
+                chunks.append(e)
+            chunks.append(rem)                     # |rem| <= 64 by n_sub choice
+            subs = tuple(reversed(chunks))         # MSB-first
         for dsub in subs:
             for ki in range(ks1):
                 parts.append(dsub[ki].astype(jnp.int8))   # [B, N]

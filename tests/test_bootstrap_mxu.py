@@ -118,3 +118,29 @@ def test_blind_rotate_mxu_matches_ntt_u64():
     rings = jnp.asarray(bsx.bsk_to_mxu(bsk.data, cfg))
     got = np.asarray(bsx.blind_rotate_mxu(cfg, rings, lut, lwe))
     np.testing.assert_array_equal(got, want)
+
+
+def test_external_product_mxu_three_way_split():
+    """base_log=16 digits need a 3-way int8 chunking (u64 torus)."""
+    from concrete_tpu.csprng import SecretRandomGenerator
+
+    cfg = bs.ServerConfig(
+        lwe_dimension=4, glwe_dimension=1, polynomial_size=64,
+        pbs_base_log=16, pbs_level=2, ks_base_log=4, ks_level=3, bits=64)
+    assert bsx.MxuPlan.from_config(cfg).n_sub == 3
+    sgen = SecretRandomGenerator(3)
+    glwe_sk = glwe_mod.GlweSecretKey.generate_binary(
+        cfg.glwe_dimension, cfg.polynomial_size, sgen, bits=64)
+    gen = EncryptionRandomGenerator(4, 5)
+    from concrete_tpu.core.ggsw import encrypt_constant_ggsw, ggsw_to_ntt
+
+    ggsw = encrypt_constant_ggsw(
+        glwe_sk, 1, cfg.pbs_base_log, cfg.pbs_level, 2.0 ** -45, gen)
+    rng = np.random.default_rng(0)
+    glwe = jnp.asarray(rng.integers(
+        0, 1 << 62, size=(3, cfg.glwe_size, cfg.polynomial_size), dtype=np.uint64))
+    want = np.asarray(bs.external_product(
+        cfg, ggsw_to_ntt(ggsw, cfg.primes, 64), glwe))
+    rings = jnp.asarray(bsx.bsk_to_mxu(ggsw[None], cfg)[0])
+    got = np.asarray(bsx.external_product_mxu(cfg, rings, glwe))
+    np.testing.assert_array_equal(got, want)
