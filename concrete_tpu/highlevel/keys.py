@@ -140,6 +140,17 @@ class LWEBSK:
             return bsx.bootstrap_mxu(self.cfg, self.bsk_mxu, accumulator, cts)
         return bs.bootstrap(self.cfg, self.bsk_ntt, accumulator, cts)
 
+    def run_bootstrap_many(self, accumulator, cts, lut_count_log: int):
+        """Multi-LUT PBS: one blind rotation, 2^lcl packed functions ->
+        [2^lcl, ..., k*N+1] (see core bootstrap_many_lut)."""
+        from ..core import bootstrap_mxu as bsx
+
+        if self.resolved_backend() == "mxu":
+            return bsx.bootstrap_many_lut_mxu(
+                self.cfg, self.bsk_mxu, accumulator, cts, lut_count_log)
+        return bs.bootstrap_many_lut(
+            self.cfg, self.bsk_ntt, accumulator, cts, lut_count_log)
+
     @classmethod
     def new(
         cls,

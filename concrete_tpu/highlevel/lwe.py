@@ -395,6 +395,34 @@ class LWE:
             )
         return LWE(out_data, new_encoder, new_var)
 
+    def bootstrap_with_functions(self, bsk: LWEBSK, fns, encoder_output: Encoder):
+        """Evaluate several functions of this ciphertext with ONE blind
+        rotation (multi-LUT PBS, the LutCountLog machinery): returns one
+        refreshed LWE per function. Costs ~a single bootstrap instead of
+        len(fns); each output carries the standard PBS noise."""
+        if self.dimension != bsk.get_lwe_dimension():
+            raise errors.DimensionError(self.dimension, bsk.get_lwe_dimension())
+        lut, lcl = generate_functional_lut_pack(bsk, self.encoder, encoder_output, fns)
+        cfg = bsk.cfg
+        accumulator = jnp.zeros(
+            (cfg.glwe_size, cfg.polynomial_size), dtype=jnp.uint64
+        ).at[-1, :].set(jnp.asarray(lut))
+        ct = self
+        if self.encoder.nb_bit_padding > 1:
+            ct = self.remove_padding(self.encoder.nb_bit_padding - 1)
+        outs = np.array(bsk.run_bootstrap_many(
+            accumulator, jnp.asarray(ct.data), lcl))      # [2^lcl, ..., kN+1]
+        new_var = npe.estimate_pbs_noise(
+            self.dimension, bsk.polynomial_size, bsk.dimension,
+            bsk.base_log, bsk.level, Variance(bsk.variance), BITS,
+        ).get_variance()
+        results = []
+        for t in range(len(fns)):
+            new_encoder = encoder_output.copy()
+            new_encoder.update_precision_from_variance(new_var)
+            results.append(LWE(outs[t], new_encoder, new_var))
+        return results
+
     def mul_from_bootstrap(self, other: "LWE", bsk: LWEBSK) -> "LWE":
         """x*y = ((x+y)^2 - (x-y)^2) / 4 with two PBS (lwe/mod.rs:1946)."""
         if self.encoder.nb_bit_precision < 2:
@@ -440,6 +468,40 @@ class LWE:
             encoder=Encoder.from_json(str(d["encoder"])),
             variance=float(d["variance"]),
         )
+
+
+def generate_functional_lut_pack(bsk, encoder_input, encoder_output, fns):
+    """Interleave 2^lcl functional LUT tracks into one test polynomial.
+
+    Coefficient p = q*2^lcl + t holds f_t sampled at the plaintext whose
+    modulus switch (rounded to multiples of 2^lcl by LutCountLog) rotates
+    position q*2^lcl to 0 — i.e. the same sampling grid as the single-LUT
+    builder, decimated per track. Returns (lut [N] u64, lut_count_log)."""
+    import math
+
+    n_fns = len(fns)
+    lcl = max(1, math.ceil(math.log2(max(n_fns, 2))))
+    if (1 << lcl) > bsk.polynomial_size:
+        raise errors.DimensionError(bsk.polynomial_size, 1 << lcl)
+    if encoder_input.nb_bit_padding < 1:
+        raise errors.NotEnoughPaddingError(0, 1)
+    n = bsk.polynomial_size
+    enc_in = encoder_input.copy()
+    enc_in.nb_bit_padding = 1
+    shift = BITS - bsk.get_polynomial_size_log() - 1
+    i = np.arange(n, dtype=np.uint64)
+    track = (i % np.uint64(1 << lcl)).astype(np.int64)
+    base = i - i % np.uint64(1 << lcl)          # q * 2^lcl
+    decoded = enc_in.decode_core(base << np.uint64(shift))
+    f_vals = np.empty(n, dtype=np.float64)
+    for t in range(1 << lcl):
+        fn = fns[t] if t < n_fns else fns[-1]
+        sel = track == t
+        f_vals[sel] = [fn(float(x)) for x in decoded[sel]]
+    out_encoded = encoder_output.encode_outside_interval(f_vals)
+    minus_start = n - (n >> (1 + encoder_input.nb_bit_precision))
+    neg = np.zeros_like(out_encoded) - out_encoded
+    return np.where(i < minus_start, out_encoded, neg).astype(DTYPE), lcl
 
 
 def generate_functional_lut(bsk: LWEBSK, encoder_input: Encoder, encoder_output: Encoder, f):

@@ -98,3 +98,29 @@ def test_multi_lut_backends_bit_identical():
     b = np.asarray(bsx.bootstrap_many_lut_mxu(
         cfg, jnp.asarray(bsx.bsk_to_mxu(bsk.data, cfg)), lut, cts, 2))
     np.testing.assert_array_equal(a, b)
+
+
+def test_highlevel_bootstrap_with_functions():
+    """Two functions of one ciphertext from a single blind rotation."""
+    from concrete_tpu.highlevel import (
+        Encoder, LWE, LWEBSK, LWESecretKey, RLWESecretKey,
+    )
+    from concrete_tpu.highlevel.params_presets import LWEParams, RLWEParams
+
+    sk = LWESecretKey.new(LWEParams(dimension=16, log2_std_dev=-40), secret_seed=1)
+    rlwe = RLWESecretKey.new(
+        RLWEParams(polynomial_size=256, dimension=1, log2_std_dev=-45),
+        secret_seed=2)
+    bsk = LWEBSK.new(sk, rlwe, base_log=10, level=3, mask_seed=3, noise_seed=4)
+    enc = Encoder.new(0.0, 10.0, nb_bit_precision=4, nb_bit_padding=2)
+    enc_out = Encoder.new(0.0, 30.0, nb_bit_precision=4, nb_bit_padding=2)
+    ct = LWE.encode_encrypt(sk, [6.0], enc)
+    outs = ct.bootstrap_with_functions(
+        bsk, [lambda x: x + 1.0, lambda x: 2.0 * x], enc_out)
+    assert len(outs) == 2
+    big = rlwe.to_lwe_secret_key()
+    got0 = float(outs[0].decrypt_decode(big)[0])
+    got1 = float(outs[1].decrypt_decode(big)[0])
+    g = enc_out.get_granularity()
+    assert abs(got0 - 7.0) < 2 * g, (got0, g)
+    assert abs(got1 - 12.0) < 2 * g, (got1, g)
