@@ -171,35 +171,51 @@ class ServerKey:
     def _pipeline(self):
         return _gate_pipeline(self.cfg, self.resolved_backend())
 
+    def _run_gate(self, lin):
+        """Run the jitted gate pipeline with the batch padded to the next
+        power of two: gate calls then hit at most log2(B) distinct compiled
+        shapes instead of one per batch size (first compile is ~30-60 s)."""
+        lead = lin.shape[:-1]
+        flat = lin.reshape((-1, lin.shape[-1]))
+        b = flat.shape[0]
+        padded = 1 << max(0, (b - 1).bit_length())
+        if padded != b:
+            flat = jnp.concatenate(
+                [flat, jnp.zeros((padded - b,) + flat.shape[1:], flat.dtype)],
+                axis=0,
+            )
+        out = self._pipeline()(self._bootstrap_keys(), self.ksk, flat)
+        return out[:b].reshape(lead + out.shape[-1:])
+
     def and_(self, ct_left, ct_right):
         lin = jnp.asarray(ct_left) + jnp.asarray(ct_right)
         lin = lin.at[..., -1].add(_NEG_EIGHTH)
-        return self._pipeline()(self._bootstrap_keys(), self.ksk, lin)
+        return self._run_gate(lin)
 
     def nand(self, ct_left, ct_right):
         lin = jnp.zeros_like(jnp.asarray(ct_left)) - ct_left - ct_right
         lin = lin.at[..., -1].add(_EIGHTH)
-        return self._pipeline()(self._bootstrap_keys(), self.ksk, lin)
+        return self._run_gate(lin)
 
     def or_(self, ct_left, ct_right):
         lin = jnp.asarray(ct_left) + jnp.asarray(ct_right)
         lin = lin.at[..., -1].add(_EIGHTH)
-        return self._pipeline()(self._bootstrap_keys(), self.ksk, lin)
+        return self._run_gate(lin)
 
     def nor(self, ct_left, ct_right):
         lin = jnp.zeros_like(jnp.asarray(ct_left)) - ct_left - ct_right
         lin = lin.at[..., -1].add(_NEG_EIGHTH)
-        return self._pipeline()(self._bootstrap_keys(), self.ksk, lin)
+        return self._run_gate(lin)
 
     def xor(self, ct_left, ct_right):
         lin = (jnp.asarray(ct_left) + jnp.asarray(ct_right)) * np.uint32(2)
         lin = lin.at[..., -1].add(_QUARTER)
-        return self._pipeline()(self._bootstrap_keys(), self.ksk, lin)
+        return self._run_gate(lin)
 
     def xnor(self, ct_left, ct_right):
         lin = (jnp.zeros_like(jnp.asarray(ct_left)) - ct_left - ct_right) * np.uint32(2)
         lin = lin.at[..., -1].add(_NEG_QUARTER)
-        return self._pipeline()(self._bootstrap_keys(), self.ksk, lin)
+        return self._run_gate(lin)
 
     def not_(self, ct):
         """Free negation, no bootstrap (server_key/mod.rs:422-429)."""
