@@ -171,21 +171,30 @@ class ServerKey:
     def _pipeline(self):
         return _gate_pipeline(self.cfg, self.resolved_backend())
 
-    def _run_gate(self, lin):
-        """Run the jitted gate pipeline with the batch padded to the next
-        power of two: gate calls then hit at most log2(B) distinct compiled
-        shapes instead of one per batch size (first compile is ~30-60 s)."""
+    @staticmethod
+    def _padded_call(fn, lin):
+        """Call `fn` with the batch flattened and padded to the next power of
+        two: gate calls then hit at most log2(B) distinct compiled shapes
+        instead of one per batch size (first compile is ~30-60 s). Zero rows
+        bootstrap harmlessly and are sliced off."""
         lead = lin.shape[:-1]
         flat = lin.reshape((-1, lin.shape[-1]))
         b = flat.shape[0]
-        padded = 1 << max(0, (b - 1).bit_length())
+        if b == 0:
+            return jnp.zeros(lead + lin.shape[-1:], lin.dtype)[..., : lin.shape[-1]]
+        padded = 1 << (b - 1).bit_length() if b > 1 else 1
         if padded != b:
             flat = jnp.concatenate(
                 [flat, jnp.zeros((padded - b,) + flat.shape[1:], flat.dtype)],
                 axis=0,
             )
-        out = self._pipeline()(self._bootstrap_keys(), self.ksk, flat)
+        out = fn(flat)
         return out[:b].reshape(lead + out.shape[-1:])
+
+    def _run_gate(self, lin):
+        pipe = self._pipeline()
+        return self._padded_call(
+            lambda flat: pipe(self._bootstrap_keys(), self.ksk, flat), lin)
 
     def and_(self, ct_left, ct_right):
         lin = jnp.asarray(ct_left) + jnp.asarray(ct_right)
@@ -223,10 +232,30 @@ class ServerKey:
 
     def mux(self, ct_condition, ct_then, ct_else):
         """(c ? t : e) via two PBS + one keyswitch (server_key/mod.rs:197-279)."""
-        return _mux_pipeline(self.cfg, self.resolved_backend())(
-            self._bootstrap_keys(), self.ksk, jnp.asarray(ct_condition),
-            jnp.asarray(ct_then), jnp.asarray(ct_else),
-        )
+        c = jnp.asarray(ct_condition)
+        t = jnp.broadcast_to(jnp.asarray(ct_then), c.shape)
+        e = jnp.broadcast_to(jnp.asarray(ct_else), c.shape)
+        pipe = _mux_pipeline(self.cfg, self.resolved_backend())
+        stacked = jnp.stack(
+            [c.reshape(-1, c.shape[-1]), t.reshape(-1, c.shape[-1]),
+             e.reshape(-1, c.shape[-1])], axis=0)
+
+        def run(flat3):  # [3*B, n+1] after padding -> un-stack inside
+            third = flat3.shape[0] // 3
+            return pipe(self._bootstrap_keys(), self.ksk,
+                        flat3[:third], flat3[third:2 * third], flat3[2 * third:])
+
+        # pad the three operands jointly so their rows stay aligned
+        lead = c.shape[:-1]
+        b = stacked.shape[1]
+        if b == 0:
+            return jnp.zeros(lead + c.shape[-1:], c.dtype)
+        padded = 1 << (b - 1).bit_length() if b > 1 else 1
+        if padded != b:
+            pad = jnp.zeros((3, padded - b, stacked.shape[-1]), stacked.dtype)
+            stacked = jnp.concatenate([stacked, pad], axis=1)
+        out = run(stacked.reshape(-1, stacked.shape[-1]))
+        return out[:b].reshape(lead + out.shape[-1:])
 
 
 @functools.lru_cache(maxsize=None)

@@ -26,7 +26,6 @@ def main():
     sq = ct.bootstrap_with_function(bsk, lambda x: x * x, enc_out)
 
     big_key = rlwe.to_lwe_secret_key()
-    import numpy as np
     print("x^2 =", np.round(sq.decrypt_decode(big_key), 2), "(expect ~[2.25, 4.0, 49.0])")
 
 
