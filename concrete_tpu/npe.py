@@ -155,6 +155,18 @@ def key_dispersion(kind: str) -> KeyDispersion:
 # ---------------------------------------------------------------------------
 
 
+def _doctest_example():
+    """
+    >>> from concrete_tpu.npe import estimate_addition_noise, estimate_number_of_noise_bits
+    >>> from concrete_tpu.dispersion import Variance
+    >>> v = estimate_addition_noise(Variance(1e-10), Variance(1e-10), 32)
+    >>> round(v.get_variance() / 1e-10, 3)
+    2.0
+    >>> estimate_number_of_noise_bits(Variance(2.0 ** -40), 32)
+    14
+    """
+
+
 def estimate_addition_noise(d1: DispersionParameter, d2: DispersionParameter, bits: int) -> Variance:
     """Var(ct1 + ct2) (operators.rs:24)."""
     return Variance.from_modular_variance(

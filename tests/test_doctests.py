@@ -9,11 +9,13 @@ import pytest
 import concrete_tpu.csprng.generator
 import concrete_tpu.highlevel.encoder
 import concrete_tpu.math.decomposition
+import concrete_tpu.npe
 
 MODULES = [
     concrete_tpu.csprng.generator,
     concrete_tpu.highlevel.encoder,
     concrete_tpu.math.decomposition,
+    concrete_tpu.npe,
 ]
 
 
