@@ -149,6 +149,23 @@ class GlweSecretKey:
 # ---------------------------------------------------------------------------
 
 
+def trivial_encrypt(poly, glwe_dimension: int):
+    """Trivial GLWE: zero mask polynomials, body = plaintext polynomial
+    (glwe_ciphertext_trivial_encryption engine). poly: [..., N] ->
+    [..., k+1, N]."""
+    import jax.numpy as jnp
+
+    poly = jnp.asarray(poly)
+    out = jnp.zeros(poly.shape[:-1] + (glwe_dimension + 1, poly.shape[-1]),
+                    dtype=poly.dtype)
+    return out.at[..., -1, :].set(poly)
+
+
+def trivial_decrypt(ct):
+    """Body polynomial of a trivial GLWE."""
+    return ct[..., -1, :]
+
+
 def glwe_to_ntt(glwe, primes: tuple, bits: int):
     """Forward-transform a GLWE tensor -> [P, ..., N] Montgomery spectra.
 

@@ -103,6 +103,19 @@ class LweSecretKey:
 # ---------------------------------------------------------------------------
 
 
+def trivial_encrypt(pt, dimension: int):
+    """Trivial LWE: zero mask, body = plaintext — decryptable under ANY key
+    (lwe_ciphertext_trivial_encryption engine). pt: [...] -> [..., n+1]."""
+    pt = jnp.asarray(pt)
+    out = jnp.zeros(pt.shape + (dimension + 1,), dtype=pt.dtype)
+    return out.at[..., -1].set(pt)
+
+
+def trivial_decrypt(ct):
+    """Body of a trivial LWE (lwe_ciphertext_trivial_decryption engine)."""
+    return ct[..., -1]
+
+
 def add(ct_a, ct_b):
     """Homomorphic addition (wrapping)."""
     return ct_a + ct_b

@@ -255,3 +255,16 @@ def test_keyswitch_limbs_bit_identical_both_widths():
         got = np.asarray(lwe_ops.keyswitch_limbs(
             ksk8, ct, base_log=4, level_count=l))
         np.testing.assert_array_equal(got, want)
+
+
+def test_trivial_encryption_decrypts_under_any_key():
+    """Trivial ciphertexts (zero mask) decrypt exactly under any key
+    (lwe/glwe_ciphertext_trivial_encryption engine analogs)."""
+    lwe_sk, glwe_sk = _keys(TINY)
+    pts = np.array([1 << 28, 3 << 29], dtype=np.uint32)
+    ct = lwe_mod.trivial_encrypt(jnp.asarray(pts), TINY.lwe_dimension)
+    np.testing.assert_array_equal(lwe_sk.decrypt(np.asarray(ct)), pts)
+    np.testing.assert_array_equal(np.asarray(lwe_mod.trivial_decrypt(ct)), pts)
+    poly = np.arange(TINY.polynomial_size, dtype=np.uint32) << 20
+    gct = glwe_mod.trivial_encrypt(jnp.asarray(poly), TINY.glwe_dimension)
+    np.testing.assert_array_equal(glwe_sk.decrypt(np.asarray(gct)[None])[0], poly)
