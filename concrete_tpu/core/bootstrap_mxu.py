@@ -82,6 +82,10 @@ class MxuPlan:
             raise NotImplementedError("mxu bootstrap path: u32/u64 torus only")
         # |digit| <= B/2; int8 operands must stay within [-128, 127] and every
         # sub-digit within +-64 so i32 accumulation stays exact.
+        if cfg.polynomial_size > 4096:
+            raise NotImplementedError(
+                "toeplitz RHS is O(N^2) per CMux; beyond N=4096 the exact-NTT"
+                " backend is the right path (auto backend falls back)")
         bl = cfg.pbs_base_log
         n_sub = 1 if bl <= 7 else (bl - 8) // 7 + 2
         k_rows = cfg.pbs_level * (cfg.glwe_dimension + 1) * n_sub * cfg.polynomial_size
@@ -215,12 +219,20 @@ def _build_tables_pallas(r_blocks: int, ks1: int, N: int):
     from jax.experimental.pallas import tpu as pltpu
 
     mask = np.uint32(0xFF)
+    # Row-tile the doubling so scratch ([T, 2N] u32) and the output block
+    # ([T, planes*4*N] i8) stay within VMEM at large N. Tile t seeds from
+    # roll(ring, t*T) (dynamic-scalar roll), then log-doubles T rows.
+    tile = min(N, max(8, (1 << 22) // N))
+    n_tiles = N // tile
 
     def kernel(e_ref, o_ref):
+        r0 = pl.program_id(1) * tile if n_tiles > 1 else 0
         for kj in range(ks1):
             x = e_ref[0, kj][None, :]  # [1, 2N]
+            if n_tiles > 1:
+                x = pltpu.roll(x, jnp.int32(r0), axis=1)
             rows = 1
-            while rows < N:
+            while rows < tile:
                 rolled = pltpu.roll(x, np.int32(rows), axis=1)
                 x = jnp.concatenate([x, rolled], axis=0)
                 rows *= 2
@@ -230,14 +242,20 @@ def _build_tables_pallas(r_blocks: int, ks1: int, N: int):
                 c0 = (kj * 4 + m) * N
                 o_ref[:, c0:c0 + N] = limb.astype(jnp.int8)
 
+    grid = (r_blocks,) if n_tiles == 1 else (r_blocks, n_tiles)
+    if n_tiles == 1:
+        in_index = lambda r: (r, 0, 0)          # noqa: E731
+        out_index = lambda r: (r, 0)            # noqa: E731
+    else:
+        in_index = lambda r, t: (r, 0, 0)       # noqa: E731
+        out_index = lambda r, t: (r * n_tiles + t, 0)  # noqa: E731
     return pl.pallas_call(
         kernel,
-        grid=(r_blocks,),
+        grid=grid,
         in_specs=[
-            pl.BlockSpec((1, ks1, 2 * N), lambda r: (r, 0, 0),
-                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, ks1, 2 * N), in_index, memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((N, ks1 * 4 * N), lambda r: (r, 0),
+        out_specs=pl.BlockSpec((tile, ks1 * 4 * N), out_index,
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((r_blocks * N, ks1 * 4 * N), jnp.int8),
         compiler_params=pltpu.CompilerParams(
