@@ -87,3 +87,24 @@ def test_mxu_and_ntt_paths_bit_identical(setup):
     a = np.asarray(bs.bootstrap(cfg, bsk_ntt, lut, lin))
     b = np.asarray(bsx.bootstrap_mxu(cfg, rings, lut, lin))
     np.testing.assert_array_equal(a, b)
+
+
+def test_dp_tp_mxu_u64(setup):
+    """The tp-sharded MXU pipeline is u64-correct (shared limb recombine;
+    wrapping psum is exact mod 2^64)."""
+    cfg = bs.ServerConfig(
+        lwe_dimension=8, glwe_dimension=1, polynomial_size=64,
+        pbs_base_log=10, pbs_level=3, ks_base_log=4, ks_level=3, bits=64)
+    rng = np.random.default_rng(3)
+    n, l, ks1, N = cfg.lwe_dimension, cfg.pbs_level, cfg.glwe_size, cfg.polynomial_size
+    bsk_raw = rng.integers(0, 1 << 63, size=(n, l, ks1, ks1, N), dtype=np.uint64)
+    rings = jnp.asarray(bsx.bsk_to_mxu(bsk_raw, cfg))
+    ksk = jnp.asarray(rng.integers(
+        0, 1 << 63, size=(cfg.big_lwe_dimension, cfg.ks_level, n + 1),
+        dtype=np.uint64))
+    lut = bs.trivial_lut_constant(cfg, np.uint64(1 << 60))
+    lin = jnp.asarray(rng.integers(0, 1 << 63, size=(8, n + 1), dtype=np.uint64))
+    want = np.asarray(bsx.bootstrap_keyswitch_mxu(cfg, rings, ksk, lut, lin))
+    mesh = make_mesh(dp=4, tp=2)
+    got = np.asarray(gate_pipeline_dp_tp_mxu(cfg, mesh)(rings, ksk, lut, lin))
+    np.testing.assert_array_equal(got, want)
