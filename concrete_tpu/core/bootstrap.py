@@ -59,6 +59,12 @@ class ServerConfig:
                 self.bits,
             )
             object.__setattr__(self, "primes", crt.select_primes(bound))
+        # the NTT path maps signed digits to residues with a single +p fixup,
+        # which requires |digit| <= B/2 < min(prime)
+        if (1 << (self.pbs_base_log - 1)) >= min(self.primes):
+            raise NotImplementedError(
+                f"pbs_base_log={self.pbs_base_log}: gadget digits exceed the "
+                f"smallest CRT prime {min(self.primes)}")
 
     @classmethod
     def from_boolean_parameters(cls, p: BooleanParameters) -> "ServerConfig":

@@ -179,19 +179,6 @@ def bsk_to_mxu(bsk_data, cfg: ServerConfig):
 # ---------------------------------------------------------------------------
 
 
-def _extract_limbs_i8(words, N: int):
-    """[rows, >=N] u32 limb-packed words -> [rows, 4, N] i8 (m-major).
-
-    byte m of each word is the balanced limb c_m mod 256; the u32->i8
-    truncating cast reinterprets it as the signed value."""
-    cols = words[:, :N]
-    mask = np.uint32(0xFF)
-    return jnp.stack(
-        [((cols >> np.uint32(8 * m)) & mask).astype(jnp.int8) for m in range(4)],
-        axis=1,
-    )
-
-
 def _build_tables_jnp(rings, N: int):
     """rings [R, planes, 2N] u32 -> RHS [R*N, planes*4*N] i8: row (blk, r),
     column (plane, m, c) holds byte m of (X^r * ring_plane)[c] — the

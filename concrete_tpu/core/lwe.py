@@ -19,6 +19,7 @@ from ..math import decomposition
 from ..torus import UNSIGNED, SIGNED
 
 _JNP_SIGNED = {32: jnp.int32, 64: jnp.int64}
+_NP_SIGNED = {32: np.int64, 64: np.int64}  # wide enough for any Python int input
 _JNP_UNSIGNED = {32: jnp.uint32, 64: jnp.uint64}
 
 
@@ -103,11 +104,15 @@ class LweSecretKey:
 # ---------------------------------------------------------------------------
 
 
-def trivial_encrypt(pt, dimension: int):
+def trivial_encrypt(pt, dimension: int, bits: int = 32):
     """Trivial LWE: zero mask, body = plaintext — decryptable under ANY key
-    (lwe_ciphertext_trivial_encryption engine). pt: [...] -> [..., n+1]."""
-    pt = jnp.asarray(pt)
-    out = jnp.zeros(pt.shape + (dimension + 1,), dtype=pt.dtype)
+    (lwe_ciphertext_trivial_encryption engine). pt: [...] -> [..., n+1].
+
+    `bits` fixes the torus width (downstream ops derive it from the dtype,
+    so Python-int plaintexts must not leak int64 in)."""
+    dt = jnp.uint32 if bits == 32 else jnp.uint64
+    pt = jnp.asarray(pt, dtype=dt)
+    out = jnp.zeros(pt.shape + (dimension + 1,), dtype=dt)
     return out.at[..., -1].set(pt)
 
 
@@ -130,6 +135,14 @@ def neg(ct):
     return jnp.zeros_like(ct) - ct
 
 
+def _as_torus(value, dtype):
+    """Convert (possibly negative) Python/array integers to the unsigned
+    torus dtype with two's-complement wrapping (NumPy 2 rejects negative
+    Python ints for unsigned dtypes)."""
+    signed = _NP_SIGNED[jnp.dtype(dtype).itemsize * 8]
+    return jnp.asarray(np.asarray(value).astype(signed)).astype(dtype)
+
+
 def add_plaintext(ct, pt):
     """Add a plaintext to the body only."""
     return ct.at[..., -1].add(jnp.asarray(pt, dtype=ct.dtype))
@@ -140,8 +153,9 @@ def sub_plaintext(ct, pt):
 
 
 def scalar_mul(ct, cleartext):
-    """Multiply every coefficient by a small integer cleartext."""
-    return ct * jnp.asarray(cleartext, dtype=ct.dtype)
+    """Multiply every coefficient by a small (possibly negative) integer
+    cleartext."""
+    return ct * _as_torus(cleartext, ct.dtype)
 
 
 def affine_transform(cts, weights, bias):
@@ -150,7 +164,7 @@ def affine_transform(cts, weights, bias):
     cts: [..., m, n+1]; weights: [m] signed ints; bias: plaintext scalar.
     Mirrors lwe_ciphertext_vector_discarding_affine_transformation.
     """
-    w = jnp.asarray(weights, dtype=cts.dtype)
+    w = _as_torus(weights, cts.dtype)
     out = (cts * w[..., :, None]).sum(axis=-2, dtype=cts.dtype)
     return add_plaintext(out, bias)
 
@@ -270,6 +284,9 @@ def keyswitch_limbs(ksk8, ct, *, base_log: int, level_count: int):
     for the u64 torus (int8 MXU dot + wrapping recombination, exact mod 2^q;
     bit-identical to `keyswitch`). Digits must fit int8 (base_log <= 7)."""
     assert base_log <= 7, "limb keyswitch needs int8 digits (base_log <= 7)"
+    # int8 x int8 -> int32 dot: worst-case |sum| = K * 64 * 128 must stay exact
+    assert ksk8.shape[0] * 8192 < 2 ** 31, (
+        "int32 accumulation bound exceeded; use the plain keyswitch")
     bits = jnp.dtype(ct.dtype).itemsize * 8
     n_limbs = bits // 8
     out_sz = ksk8.shape[-1] // n_limbs
