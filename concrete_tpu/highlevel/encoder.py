@@ -32,6 +32,17 @@ def _closest_representable_scalar(x: int, base_log: int, bits: int = BITS) -> in
     return (((x >> non_rep) + msb) << non_rep) & ((1 << bits) - 1)
 
 
+def _closest_representable_array(x: np.ndarray, base_log: int) -> np.ndarray:
+    """Vectorized _closest_representable_scalar on u64 arrays (wrapping)."""
+    non_rep = BITS - base_log
+    if non_rep == 0:
+        return x
+    x = np.asarray(x, dtype=DTYPE)
+    msb = (x >> DTYPE(non_rep - 1)) & DTYPE(1)
+    with np.errstate(over="ignore"):
+        return ((x >> DTYPE(non_rep)) + msb) << DTYPE(non_rep)
+
+
 @dataclasses.dataclass
 class Encoder:
     """o = interval min (with margin), delta = interval width (with margin),
@@ -121,11 +132,7 @@ class Encoder:
         m = np.asarray(m, dtype=np.float64)
         res = from_torus_f64((m - self.o) / self.delta, BITS)
         if self.round:
-            vec = np.vectorize(
-                lambda x: _closest_representable_scalar(int(x), self.nb_bit_precision),
-                otypes=[np.uint64],
-            )
-            res = vec(res)
+            res = _closest_representable_array(res, self.nb_bit_precision)
         if self.nb_bit_padding > 0:
             res = res >> DTYPE(self.nb_bit_padding)
         return res
@@ -138,27 +145,19 @@ class Encoder:
         pt = np.asarray(pt, dtype=DTYPE)
         tmp = pt
         if self.round:
-            vec = np.vectorize(
-                lambda x: _closest_representable_scalar(
-                    int(x), self.nb_bit_precision + self.nb_bit_padding
-                ),
-                otypes=[np.uint64],
-            )
-            tmp = vec(tmp)
+            tmp = _closest_representable_array(
+                tmp, self.nb_bit_precision + self.nb_bit_padding)
         if self.nb_bit_padding > 0:
             tmp = tmp << DTYPE(self.nb_bit_padding)
-        # round to the message lattice when in the security margin
+        # round to the message lattice when inside the security-margin band
+        # (top half-granularity of the torus, encoder/mod.rs:546 convention:
+        # start = (2^{p+1} - 1) * 2^{B - p - 1} = (1 - 2^{-(p+1)}) * 2^B)
         margin_start = DTYPE(
-            (((1 << (self.nb_bit_precision + 1)) - 1) << (BITS - self.nb_bit_precision))
-            % (1 << BITS)
+            ((1 << (self.nb_bit_precision + 1)) - 1)
+            << (BITS - self.nb_bit_precision - 1)
         )
-        vec = np.vectorize(
-            lambda x: _closest_representable_scalar(int(x), self.nb_bit_precision)
-            if x > int(margin_start)
-            else int(x),
-            otypes=[np.uint64],
-        )
-        tmp = vec(tmp)
+        snapped = _closest_representable_array(tmp, self.nb_bit_precision)
+        tmp = np.where(tmp > margin_start, snapped, tmp)
         return into_torus_f64(tmp, BITS) * self.delta + self.o
 
     # -- dynamic precision -----------------------------------------------------

@@ -17,8 +17,6 @@ import jax.numpy as jnp
 import numpy as np
 
 from .. import npe
-from ..core import bootstrap as bs
-from ..core import lwe as lwe_ops
 from ..dispersion import Variance
 from ..csprng import EncryptionRandomGenerator
 from ..torus import UNSIGNED
@@ -118,10 +116,15 @@ class LWE:
         out.data[..., -1] += correction
         return out
 
-    def add_constant_dynamic_encoder(self, constants) -> "LWE":
-        """Ciphertext unchanged; the encoder's interval shifts (lwe/mod.rs:413)."""
+    def add_constant_dynamic_encoder(self, constant) -> "LWE":
+        """Ciphertext unchanged; the encoder's interval shifts (lwe/mod.rs:413).
+
+        The batch shares ONE encoder, so only a scalar constant is
+        representable; per-slot constants need VectorLWE."""
+        if np.ndim(constant) and np.asarray(constant).size != 1:
+            raise errors.DimensionError(int(np.asarray(constant).size), 1)
         out = self.copy()
-        out.encoder.o += float(np.asarray(constants).ravel()[0]) if np.ndim(constants) else float(constants)
+        out.encoder.o += float(np.asarray(constant).ravel()[0])
         return out
 
     # -- ciphertext addition -----------------------------------------------------
@@ -204,14 +207,8 @@ class LWE:
             raise errors.DimensionError(self.dimension, other.dimension)
         out = self.copy()
         out.data = self.data - other.data
-        # re-center: the result lives in [o1 - max2, ...]; add back max2 worth
-        from ..torus import from_torus_f64
-
-        correction = from_torus_f64(
-            np.float64(1.0), BITS
-        )  # encode_core(delta) on zero-offset encoder == full torus; see below
-        # encode (delta - granularity + granularity) == delta: equivalently the
-        # reference adds encode(max2 - o2) = encode(delta - granularity) + o2
+        # re-center: the result lives in [o1 - max2, ...]; the reference adds
+        # encode(max2 - o2) = encode(delta - granularity) on a zero-offset copy
         tmp_enc = self.encoder.copy()
         tmp_enc.o = 0.0
         correction = tmp_enc.encode_core(
@@ -285,15 +282,14 @@ class LWE:
         )
         out.encoder = Encoder(
             o=new_o,
-            delta=new_delta * 2.0 ** (nb_bit_padding) / 2.0 ** nb_bit_padding,
+            delta=new_delta,
             nb_bit_precision=max(new_precision, 1),
             nb_bit_padding=self.encoder.nb_bit_padding - nb_bit_padding,
             round=self.encoder.round,
         )
-        out.encoder.o = new_o
-        out.encoder.delta = new_delta * 2.0 ** nb_bit_padding / 2.0 ** nb_bit_padding
-        # delta spans the padded range after the multiply
-        out.encoder.delta = new_delta
+        # the zero-offset multiply left the phase as c*x/delta_out; re-add the
+        # output interval offset so decode sees encode_out(c*x)
+        out.data[..., -1] += out.encoder.encode_core(np.float64(0.0))
         out.variance = npe.estimate_integer_plaintext_multiplication_noise(
             Variance(self.variance), scal
         ).get_variance()
@@ -437,18 +433,9 @@ class LWE:
             enc2.delta = enc1.delta
         sq1 = ct1.bootstrap_with_function(bsk, lambda x: x * x / 4.0, enc1)
         sq2 = ct2.bootstrap_with_function(bsk, lambda x: x * x / 4.0, enc2)
-        res = sq1.sub_with_padding(sq2)
-        res.encoder.o *= 4.0
-        res.encoder.delta *= 4.0
-        # undo the /4 scaling: multiply plaintext space by 4 = shift 2 bits
-        res.data = (res.data << DTYPE(2)).astype(DTYPE)
-        res.encoder.o /= 4.0
-        res.encoder.delta /= 4.0
-        res.variance = npe.estimate_integer_plaintext_multiplication_noise(
-            Variance(res.variance), 4
-        ).get_variance()
-        res.encoder.update_precision_from_variance(res.variance)
-        return res
+        # ((x+y)^2 - (x-y)^2) / 4 IS x*y: the /4 lives in the bootstrap
+        # functions, so the subtraction already encodes the product.
+        return sq1.sub_with_padding(sq2)
 
     # -- serialization ------------------------------------------------------------
 

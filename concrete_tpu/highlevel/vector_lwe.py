@@ -14,8 +14,6 @@ import jax.numpy as jnp
 import numpy as np
 
 from .. import npe
-from ..core import bootstrap as bs
-from ..core import lwe as lwe_ops
 from ..csprng import EncryptionRandomGenerator
 from ..dispersion import Variance
 from . import errors
@@ -154,7 +152,7 @@ class VectorLWE:
     def sum_with_padding(self) -> LWE:
         """Sum all slots, consuming ceil(log2(m)) padding bits."""
         m = self.nb_ciphertexts
-        need = int(np.ceil(np.log2(max(m, 2))))
+        need = int(np.ceil(np.log2(m))) if m > 1 else 0
         for e in self.encoders:
             if e.nb_bit_padding < need:
                 raise errors.NotEnoughPaddingError(e.nb_bit_padding, need)
@@ -229,7 +227,9 @@ class VectorLWE:
         """
         enc0 = self.encoders[0]
         for e in self.encoders:
-            if not _deltas_close(e.delta, enc0.delta) or e.nb_bit_padding != enc0.nb_bit_padding:
+            if (not _deltas_close(e.delta, enc0.delta)
+                    or e.nb_bit_padding != enc0.nb_bit_padding
+                    or e.o != enc0.o):
                 raise errors.DeltaError(e.delta, enc0.delta)
         lut = generate_functional_lut(bsk, enc0, encoder_output, f)
         cfg = bsk.cfg

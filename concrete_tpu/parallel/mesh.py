@@ -93,7 +93,7 @@ def _external_product_tp(cfg: bs.ServerConfig, ggsw_levels, glwe, axis: str, tp:
     for lev in range(l_local):
         for i in range(cfg.glwe_size):
             prod = rp.mont_mul(
-                dspec[..., lev, i, :][:, ..., None, :].swapaxes(0, 0),
+                dspec[..., lev, i, :][:, ..., None, :],
                 ggsw_levels[:, lev, i][(slice(None),) + (None,) * (my.ndim - 3) + (slice(None), slice(None))],
             )
             acc = prod if acc is None else rp.add(acc, prod)

@@ -216,3 +216,41 @@ def test_key_serde_roundtrip(tmp_path):
     sk1.save(path)
     sk2 = LWESecretKey.load(path)
     np.testing.assert_array_equal(sk1.inner.key, sk2.inner.key)
+
+
+def test_mul_from_bootstrap_value():
+    """Regression: the product must decode to ~x*y (a former x4 scaling bug
+    made 1.0*1.5 decode to ~6)."""
+    sk = LWESecretKey.new(SK_PARAMS, secret_seed=31)
+    rlwe = RLWESecretKey.new(RLWE_PARAMS, secret_seed=32)
+    bsk = LWEBSK.new(sk, rlwe, base_log=10, level=3, mask_seed=33, noise_seed=34)
+    enc = Encoder.new(-2.0, 2.0, nb_bit_precision=5, nb_bit_padding=2)
+    a = LWE.encode_encrypt(sk, [1.0], enc, mask_seed=35, noise_seed=36)
+    b = LWE.encode_encrypt(sk, [1.5], enc, mask_seed=37, noise_seed=38)
+    prod = a.mul_from_bootstrap(b, bsk)
+    got = float(prod.decrypt_decode(rlwe.to_lwe_secret_key())[0])
+    assert abs(got - 1.5) < 4 * prod.encoder.get_granularity(), got
+
+
+def test_mul_constant_with_padding_value():
+    """Regression: result must carry the output interval offset (a missing
+    encode(0) re-add made 3*2 decode to ~-34)."""
+    sk = LWESecretKey.new(SK_PARAMS, secret_seed=41)
+    enc = Encoder.new(-10.0, 10.0, nb_bit_precision=6, nb_bit_padding=4)
+    ct = LWE.encode_encrypt(sk, [3.0], enc, mask_seed=42, noise_seed=43)
+    out = ct.mul_constant_with_padding(2.0, 4.0, 3)
+    got = float(out.decrypt_decode(sk)[0])
+    assert abs(got - 6.0) < 2 * out.encoder.get_granularity(), got
+
+
+def test_add_constant_dynamic_encoder_rejects_vector():
+    sk = LWESecretKey.new(SK_PARAMS, secret_seed=51)
+    enc = Encoder.new(0.0, 10.0, nb_bit_precision=5, nb_bit_padding=2)
+    ct = LWE.encode_encrypt(sk, [1.0, 2.0], enc, mask_seed=52, noise_seed=53)
+    import pytest as _pytest
+
+    with _pytest.raises(errors.DimensionError):
+        ct.add_constant_dynamic_encoder(np.array([3.0, 5.0]))
+    # scalar path still works
+    shifted = ct.add_constant_dynamic_encoder(3.0)
+    assert shifted.encoder.o == enc.o + 3.0
