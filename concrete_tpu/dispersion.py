@@ -27,7 +27,10 @@ class DispersionParameter:
         raise NotImplementedError
 
     def get_log_standard_dev(self) -> float:
-        return math.log2(self.get_standard_dev())
+        # the reference's sqrt(0).log2() = -inf (dispersion.rs); 2^-inf = 0,
+        # so zero dispersion round-trips instead of raising a domain error
+        std = self.get_standard_dev()
+        return math.log2(std) if std > 0.0 else float("-inf")
 
     def get_modular_standard_dev(self, bits: int) -> float:
         return 2.0 ** (bits + self.get_log_standard_dev())
@@ -76,7 +79,8 @@ class StandardDev(DispersionParameter):
         return self.std_dev ** 2
 
     def get_log_standard_dev(self) -> float:
-        return math.log2(self.std_dev)
+        # sqrt(0).log2() = -inf in the reference; keep zero graceful
+        return math.log2(self.std_dev) if self.std_dev > 0.0 else float("-inf")
 
 
 @dataclasses.dataclass(frozen=True)
@@ -96,4 +100,6 @@ class Variance(DispersionParameter):
         return self.variance
 
     def get_log_standard_dev(self) -> float:
+        if self.variance <= 0.0:
+            return float("-inf")
         return math.log2(self.variance) / 2.0
