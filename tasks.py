@@ -19,7 +19,7 @@ def main():
         sys.exit(run([sys.executable, "-m", "pytest", "tests/", "-x", "-q"]))
     if cmd == "test-fast":
         sys.exit(run([sys.executable, "-m", "pytest", "tests/", "-x", "-q",
-                      "-k", "not fixtures and not slow"]))
+                      "-k", "not fixtures and not slow and not fuzz"]))
     if cmd == "fixtures":
         sys.exit(run([sys.executable, "-c",
                       "from concrete_tpu import fixtures;"
