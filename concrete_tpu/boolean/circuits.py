@@ -40,12 +40,24 @@ def ripple_carry_adder(sks: ServerKey, a_bits, b_bits, carry_in=None):
     return jnp.stack(sums, axis=0), carry
 
 
-def encrypt_uint(cks, values, nbits: int, **seeds):
+def encrypt_uint(cks, values, nbits: int, *, mask_seed=None, noise_seed=None):
     """Encrypt unsigned integers as little-endian bit vectors
-    -> [nbits, batch, n+1]."""
+    -> [nbits, batch, n+1].
+
+    Seeds are per-CALL: each bit plane derives a distinct sub-seed
+    (reusing the same seed across planes would give every plane identical
+    mask+noise, letting ct_i - ct_j leak whether bits differ)."""
     values = np.atleast_1d(np.asarray(values, dtype=np.uint64))
     bits = ((values[None, :] >> np.arange(nbits, dtype=np.uint64)[:, None]) & 1).astype(bool)
-    return np.stack([cks.encrypt(bits[i], **seeds) for i in range(nbits)])
+    planes = []
+    for i in range(nbits):
+        seeds = {}
+        if mask_seed is not None:
+            seeds["mask_seed"] = (int(mask_seed) << 16) + i
+        if noise_seed is not None:
+            seeds["noise_seed"] = (int(noise_seed) << 16) + i
+        planes.append(cks.encrypt(bits[i], **seeds))
+    return np.stack(planes)
 
 
 def decrypt_uint(cks, bit_cts) -> np.ndarray:

@@ -21,9 +21,9 @@ import functools
 import jax
 
 
-@functools.partial(jax.jit, static_argnums=(2,))
-def _jit_multisum(masks, key, bits):
-    return polynomial.multisum_negacyclic(masks, key, bits)
+@functools.partial(jax.jit, static_argnums=(2, 3))
+def _jit_multisum(masks, key, bits, small_max=1):
+    return polynomial.multisum_negacyclic(masks, key, bits, small_max=small_max)
 
 
 @dataclasses.dataclass
@@ -83,11 +83,17 @@ class GlweSecretKey:
 
     # -- encryption ----------------------------------------------------------
 
+    def _key_magnitude(self) -> int:
+        """Centered magnitude bound of key coefficients (drives the exact
+        multisum's CRT prime budget)."""
+        return 1 if self.kind in ("binary", "ternary") else 1 << (self.bits - 1)
+
     def _multisum(self, masks: np.ndarray) -> np.ndarray:
         """sum_j mask_j * s_j mod (X^N+1, 2^bits) — exact via NTT+CRT,
         batched over all leading axes in one jitted call."""
         return np.array(
-            _jit_multisum(jnp.asarray(masks), jnp.asarray(self.key), self.bits)
+            _jit_multisum(jnp.asarray(masks), jnp.asarray(self.key), self.bits,
+                          small_max=self._key_magnitude())
         )
 
     def encrypt_from_randomness(

@@ -91,6 +91,12 @@ def packing_keyswitch(pksk_data, lwe_list, *, base_log: int, level_count: int):
     lwe_list: [..., m, n_in+1] with m <= N -> [..., k+1, N].
     """
     m = lwe_list.shape[-2]
+    poly_size = pksk_data.shape[-1]
+    if m > poly_size:
+        raise ValueError(
+            f"cannot pack {m} LWEs into one GLWE of polynomial size "
+            f"{poly_size} (degree m-1 wraps negacyclically; "
+            f"glwe/keyswitch.rs:596 debug_assert)")
     switched = keyswitch_lwe_to_glwe(
         pksk_data, lwe_list, base_log=base_log, level_count=level_count
     )  # [..., m, k+1, N]

@@ -134,7 +134,7 @@ class LweKeyswitchFixture(Fixture):
         predicted = npe.estimate_keyswitch_noise_with_constant_terms(
             params["n_in"], ct_std, ks_std, params["base_log"], params["levels"], bits
         )
-        assert_noise_bounded(dec, pts, predicted, bits, slack_bits=0.75)
+        assert_noise_bounded(dec, pts, predicted, bits, slack_bits=0.5)
 
 
 class PbsFixture(Fixture):
@@ -201,7 +201,7 @@ class PbsFixture(Fixture):
             p.lwe_dimension, p.polynomial_size, p.glwe_dimension,
             p.pbs_base_log, p.pbs_level, p.glwe_modular_std_dev, 32,
         )
-        assert_noise_bounded(dec, expected, predicted, 32, slack_bits=0.75)
+        assert_noise_bounded(dec, expected, predicted, 32, slack_bits=0.5)
 
 
 class GlweEncryptDecryptFixture(Fixture):
@@ -286,7 +286,7 @@ class ExternalProductFixture(Fixture):
             params["N"], params["k"], ct_std, ggsw_std,
             params["base_log"], params["levels"], 32,
         )
-        assert_noise_bounded(dec, msgs, predicted, 32, slack_bits=0.75)
+        assert_noise_bounded(dec, msgs, predicted, 32, slack_bits=0.5)
 
 
 class PackingKeyswitchFixture(Fixture):
@@ -324,7 +324,7 @@ class PackingKeyswitchFixture(Fixture):
         predicted = npe.estimate_keyswitch_noise_with_constant_terms(
             params["n_in"], ct_std, ks_std, params["base_log"], params["levels"], 32
         )
-        assert_noise_bounded(dec, pts, predicted, 32, slack_bits=0.75)
+        assert_noise_bounded(dec, pts, predicted, 32, slack_bits=0.5)
 
 
 class LweAffineTransformFixture(Fixture):
@@ -355,7 +355,7 @@ class LweAffineTransformFixture(Fixture):
         expected = expected.astype(np.uint32)
         predicted = npe.estimate_weighted_sum_noise(
             [Variance(std.get_variance())] * count, weights.tolist())
-        assert_noise_bounded(sk.decrypt(out), expected, predicted, bits, slack_bits=0.75)
+        assert_noise_bounded(sk.decrypt(out), expected, predicted, bits, slack_bits=0.5)
 
 
 class SampleExtractFixture(Fixture):
@@ -435,7 +435,7 @@ class CmuxFixture(Fixture):
                 StandardDev(2.0 ** -20), StandardDev(2.0 ** -20),
                 StandardDev(2.0 ** -25), 32,
             )
-            assert_noise_bounded(dec, want, predicted, 32, slack_bits=1.0)
+            assert_noise_bounded(dec, want, predicted, 32, slack_bits=0.5)
 
 
 class U64PbsFixture(Fixture):
@@ -482,7 +482,7 @@ class U64PbsFixture(Fixture):
         predicted = npe.estimate_pbs_noise(
             params["n"], params["N"], params["k"], params["base_log"],
             params["levels"], bsk_std, 64)
-        assert_noise_bounded(dec, msgs, predicted, 64, slack_bits=0.75)
+        assert_noise_bounded(dec, msgs, predicted, 64, slack_bits=0.5)
 
 
 ALL_FIXTURES = [

@@ -57,15 +57,12 @@ def make_plan(n: int, p: int) -> NttPlan:
     r = (1 << 32) % p
     r2 = (1 << 64) % p
 
-    idx = np.arange(n, dtype=object)
     twist_fwd = np.array(
         [pow(psi, int(i), p) * r2 % p for i in range(n)], dtype=np.uint32
     )
     untwist_inv = np.array(
         [pow(psi_inv, int(i), p) * n_inv % p for i in range(n)], dtype=np.uint32
     )
-    del idx
-
     log2n = n.bit_length() - 1
     w_fwd, w_inv = [], []
     for s in range(log2n):
@@ -89,27 +86,15 @@ def make_plan(n: int, p: int) -> NttPlan:
     )
 
 
-@dataclasses.dataclass(frozen=True)
-class StackedNttPlans:
-    """All CRT primes processed in ONE tensor: every per-prime constant is a
-    [P]-leading array broadcast against [P, ..., N] data. Halves (or better)
-    the kernel count vs looping primes in python."""
+class _StackedMontOps:
+    """Broadcast Montgomery arithmetic shared by every stacked-plan flavour —
+    one definition so the roll and reshape paths cannot diverge (they are
+    required to be bit-identical)."""
 
-    n: int
-    primes: tuple
-    p: np.ndarray            # [P] uint32
-    n_prime: np.ndarray      # [P] uint32  (-p^-1 mod 2^32)
-    twist_fwd: np.ndarray    # [P, N]
-    untwist_inv: np.ndarray  # [P, N]
-    w_fwd: tuple             # per stage: [P, m]
-    w_inv: tuple
-
-    def _bc(self, arr, x, extra=1):
+    def _bc(self, arr, x):
         """Reshape a [P, ...] constant to broadcast against x = [P, ..., N]."""
         a = jnp.asarray(arr)
         return a.reshape(a.shape[:1] + (1,) * (x.ndim - a.ndim) + a.shape[1:])
-
-    # -- stacked Montgomery ops -----------------------------------------
 
     def mont_mul(self, x, y):
         from .mod_arith import mul32_hilo
@@ -133,7 +118,23 @@ class StackedNttPlans:
 
 
 @dataclasses.dataclass(frozen=True)
-class RollNttPlans:
+class StackedNttPlans(_StackedMontOps):
+    """All CRT primes processed in ONE tensor: every per-prime constant is a
+    [P]-leading array broadcast against [P, ..., N] data. Halves (or better)
+    the kernel count vs looping primes in python."""
+
+    n: int
+    primes: tuple
+    p: np.ndarray            # [P] uint32
+    n_prime: np.ndarray      # [P] uint32  (-p^-1 mod 2^32)
+    twist_fwd: np.ndarray    # [P, N]
+    untwist_inv: np.ndarray  # [P, N]
+    w_fwd: tuple             # per stage: [P, m]
+    w_inv: tuple
+
+
+@dataclasses.dataclass(frozen=True)
+class RollNttPlans(_StackedMontOps):
     """Roll-based stacked plans: butterflies via circular shifts + selects on
     a FIXED [..., N] geometry (no reshapes -> no TPU relayouts; the same code
     runs inside Pallas kernels). Per stage: full-length twiddle vectors with
@@ -149,30 +150,6 @@ class RollNttPlans:
     w_fwd_full: tuple         # per stage: [P, N] twiddles at 2nd-half slots
     w_inv_full: tuple
     masks: tuple              # per stage: [N] bool, True on first half of block
-
-    def _bc(self, arr, x):
-        a = jnp.asarray(arr)
-        return a.reshape(a.shape[:1] + (1,) * (x.ndim - a.ndim) + a.shape[1:])
-
-    def mont_mul(self, x, y):
-        from .mod_arith import mul32_hilo
-
-        p = self._bc(self.p, x)
-        npr = self._bc(self.n_prime, x)
-        hi, lo = mul32_hilo(x, y)
-        m = lo * npr
-        mhi, _ = mul32_hilo(m, p)
-        t = hi + mhi + (lo != 0).astype(U32)
-        return jnp.where(t >= p, t - p, t)
-
-    def add(self, x, y):
-        p = self._bc(self.p, x)
-        s = x + y
-        return jnp.where(s >= p, s - p, s)
-
-    def sub(self, x, y):
-        p = self._bc(self.p, x)
-        return jnp.where(x >= y, x - y, x + (p - y))
 
 
 @functools.lru_cache(maxsize=None)

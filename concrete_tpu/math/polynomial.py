@@ -81,16 +81,17 @@ def polymul_wrapping_naive(a: np.ndarray, b: np.ndarray) -> np.ndarray:
     return out
 
 
-def multisum_negacyclic(torus_polys, small_polys, bits: int):
+def multisum_negacyclic(torus_polys, small_polys, bits: int, small_max: int = 1):
     """sum_j torus_polys[..., j, :] * small_polys[j, :] mod (X^N+1, 2^bits).
 
-    torus_polys: [..., k, N] unsigned torus; small_polys: [k, N] small
-    *unsigned* values (e.g. binary key bits, magnitude <= small_max). Exact
-    wrapping result via prime NTT + CRT. Used by GLWE encryption's
-    update_with_wrapping_add_multisum (secret/glwe.rs:488-545).
+    torus_polys: [..., k, N] unsigned torus; small_polys: [k, N] values of
+    centered magnitude <= small_max (1 for binary/ternary keys; 2^(bits-1)
+    for gaussian/uniform keys). Exact wrapping result via prime NTT + CRT —
+    the CRT bound scales with small_max, so full-range keys stay exact
+    (update_with_wrapping_add_multisum, secret/glwe.rs:488-545).
     """
     k, n = small_polys.shape[-2], small_polys.shape[-1]
-    bound = k * n * 1 * (1 << (bits - 1))  # binary/ternary keys: |coef| <= 1
+    bound = k * n * int(small_max) * (1 << (bits - 1))
     primes = crt.select_primes(bound)
     cc = crt.CrtContext.new(primes, bits)
     t_res = cc.residues_from_torus(torus_polys)   # list of [..., k, N] u32

@@ -45,7 +45,7 @@ def assert_noise_distribution(
     expected: np.ndarray,
     predicted: DispersionParameter,
     bits: int,
-    alpha: float = 0.01,
+    alpha: float = 0.05,
     log_sigma_slack_bits: float = 0.5,
     seed: int = 0,
 ):

@@ -268,3 +268,38 @@ def test_trivial_encryption_decrypts_under_any_key():
     poly = np.arange(TINY.polynomial_size, dtype=np.uint32) << 20
     gct = glwe_mod.trivial_encrypt(jnp.asarray(poly), TINY.glwe_dimension)
     np.testing.assert_array_equal(glwe_sk.decrypt(np.asarray(gct)[None])[0], poly)
+
+
+def test_glwe_ntt_roundtrip():
+    """glwe_to_ntt / glwe_from_ntt invert each other (FourierGlweCiphertext
+    conversion analogs, glwe/fourier.rs)."""
+    rng = np.random.default_rng(0)
+    primes = (2013265921, 1811939329)
+    ct = rng.integers(0, 1 << 32, size=(3, 2, 64), dtype=np.uint32)
+    spec = glwe_mod.glwe_to_ntt(ct, primes, 32)
+    back = np.asarray(glwe_mod.glwe_from_ntt(spec, primes, 32))
+    np.testing.assert_array_equal(back, ct)
+
+
+def test_glwe_uniform_key_multisum_exact():
+    """Full-range (uniform) GLWE keys: sample extraction stays exact (the
+    multisum CRT bound must scale with the key magnitude)."""
+    sgen = SecretRandomGenerator(9)
+    sk = glwe_mod.GlweSecretKey.generate_uniform(2, 64, sgen)
+    gen = EncryptionRandomGenerator(10, 11)
+    rng = np.random.default_rng(12)
+    pt = rng.integers(0, 1 << 32, size=(1, 64), dtype=np.uint32)
+    ct = sk.encrypt(pt, 0.0, gen)
+    out = np.asarray(bs.sample_extract_nth(jnp.asarray(ct), 5))
+    dec = sk.into_lwe_key().decrypt(out[None])[0]
+    assert dec == pt[0, 5], (hex(dec), hex(pt[0, 5]))
+
+
+def test_packing_rejects_too_many_lwes():
+    from concrete_tpu.core import packing
+
+    rng = np.random.default_rng(0)
+    pksk = jnp.asarray(rng.integers(0, 1 << 32, size=(8, 3, 2, 16), dtype=np.uint32))
+    lwes = jnp.asarray(rng.integers(0, 1 << 32, size=(17, 9), dtype=np.uint32))
+    with pytest.raises(ValueError):
+        packing.packing_keyswitch(pksk, lwes, base_log=4, level_count=3)
