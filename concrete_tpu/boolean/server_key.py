@@ -87,6 +87,24 @@ class ServerKey:
             return self.bsk_mxu
         return self.bsk_ntt
 
+    def with_fast_mode(self, *, limb_drop: int = 1,
+                       levels: int | None = None) -> "ServerKey":
+        """Reduced-precision evaluation twin over the same key material.
+
+        ``levels`` keeps only the most-significant PBS decomposition levels
+        (both backends, still bit-identical to each other); ``limb_drop``
+        rounds the GGSW operand on the MXU path (NTT path ignores it). Client
+        keys and ciphertexts are unchanged. The extra noise is analytic:
+        npe.estimate_pbs_noise at the reduced level count plus
+        npe.estimate_mxu_truncation_noise — see docs/performance.md for the
+        measured-vs-predicted validation and gate-error budget.
+        """
+        cfg = self.cfg.with_fast_mode(limb_drop=limb_drop, levels=levels)
+        return dataclasses.replace(
+            self, cfg=cfg,
+            bsk_standard=self.bsk_standard[:, :cfg.pbs_level],
+            _bsk_ntt=None, _bsk_mxu=None)
+
     @classmethod
     def new(
         cls,
@@ -94,7 +112,7 @@ class ServerKey:
         *,
         mask_seed: int | None = None,
         noise_seed: int | None = None,
-        keep_standard_bsk: bool = False,
+        keep_standard_bsk: bool | None = None,
     ) -> "ServerKey":
         p = cks.parameters
         cfg = bs.ServerConfig.from_boolean_parameters(p)
@@ -116,7 +134,7 @@ class ServerKey:
             p.lwe_modular_std_dev.std_dev,
             gen,
         )
-        if not keep_standard_bsk:
+        if keep_standard_bsk is not None:
             import warnings
 
             warnings.warn(

@@ -49,8 +49,21 @@ class ServerConfig:
     ks_level: int
     bits: int = 32
     primes: tuple[int, ...] = ()
+    # Reduced-precision MXU external product: drop this many *low* byte limbs
+    # of the GGSW operand (the RHS of the toeplitz matmul). Dropping d limbs
+    # rounds every key coefficient to a multiple of 2^{8d} (balanced limbs =>
+    # round-to-nearest, unbiased), which enters the PBS noise exactly like
+    # extra bootstrap-key noise of variance 2^{16d}/12 — the analog of the
+    # reference's f64-FFT rounding noise (transform.rs "FFT noise" comments).
+    # npe.estimate_mxu_truncation_noise quantifies it; 0 = exact (default).
+    # Only the MXU backend honors this; the NTT backend is always exact.
+    mxu_limb_drop: int = 0
 
     def __post_init__(self):
+        if not (0 <= self.mxu_limb_drop <= self.bits // 8 - 2):
+            raise ValueError(
+                f"mxu_limb_drop={self.mxu_limb_drop}: must keep >= 2 of the "
+                f"{self.bits // 8} GGSW byte limbs")
         if not self.primes:
             bound = crt.external_product_bound(
                 self.polynomial_size,
@@ -78,6 +91,24 @@ class ServerConfig:
             ks_level=p.ks_level,
             bits=32,
         )
+
+    def with_fast_mode(self, *, limb_drop: int = 1,
+                       levels: int | None = None) -> "ServerConfig":
+        """A reduced-precision evaluation view over the *same* key material.
+
+        ``levels`` (< pbs_level) evaluates the PBS with only the most-
+        significant decomposition levels (the BSK is sliced accordingly);
+        the decomposition rounding then absorbs the dropped levels, and the
+        standard NPE formulas at the reduced level count model it exactly.
+        ``limb_drop`` additionally rounds the GGSW operand to 8*(n_limbs-d)
+        bits on the MXU path (see mxu_limb_drop). Ciphertexts and client
+        keys are unchanged — this only alters server-side evaluation.
+        """
+        lv = self.pbs_level if levels is None else levels
+        if not (1 <= lv <= self.pbs_level):
+            raise ValueError(f"levels={lv}: need 1 <= levels <= pbs_level")
+        return dataclasses.replace(
+            self, pbs_level=lv, mxu_limb_drop=limb_drop, primes=())
 
     @property
     def glwe_size(self) -> int:

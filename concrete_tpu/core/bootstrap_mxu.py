@@ -72,6 +72,7 @@ class MxuPlan:
     ks_base_log: int
     ks_level: int
     bits: int = 32          # torus width: 32 (boolean) or 64 (highlevel)
+    limb_drop: int = 0      # low GGSW byte limbs dropped (reduced precision)
 
     # balanced 7-bit chunking: d = sum_j 2^{7j} e_j, every e_j in [-64, 64]
     SUB_CHUNK_BITS = 7
@@ -103,6 +104,7 @@ class MxuPlan:
             ks_base_log=cfg.ks_base_log,
             ks_level=cfg.ks_level,
             bits=cfg.bits,
+            limb_drop=getattr(cfg, "mxu_limb_drop", 0),
         )
 
     def sub_multiplier(self, sub: int) -> int:
@@ -118,6 +120,12 @@ class MxuPlan:
     def n_limbs(self) -> int:
         """signed-byte limbs per torus coefficient."""
         return self.bits // 8
+
+    @property
+    def limbs_used(self) -> int:
+        """GGSW byte limbs actually carried by the RHS/recombine
+        (n_limbs - limb_drop; the dropped low limbs round the key operand)."""
+        return self.n_limbs - self.limb_drop
 
     @property
     def row_blocks(self) -> int:
@@ -179,55 +187,76 @@ def bsk_to_mxu(bsk_data, cfg: ServerConfig):
 # ---------------------------------------------------------------------------
 
 
-def _build_tables_jnp(rings, N: int):
-    """rings [R, planes, 2N] u32 -> RHS [R*N, planes*4*N] i8: row (blk, r),
-    column (plane, m, c) holds byte m of (X^r * ring_plane)[c] — the
-    negacyclic toeplitz matrix T[r, c] = limb_m(ring[(c - r) mod 2N]).
-    planes = (k+1) for u32, (k+1)*2 word-planes for u64."""
-    r_blocks, ks1, _ = rings.shape
-    x = rings[:, :, None, :]  # [R, k+1, 1, 2N]
+def _kept_limbs(n_words: int, limb_drop: int):
+    """Kept (word, byte) pairs in ascending global-limb order."""
+    return [(w, m) for w in range(n_words) for m in range(4)
+            if 4 * w + m >= limb_drop]
+
+
+def _build_tables_jnp(rings, N: int, n_words: int = 1, limb_drop: int = 0):
+    """rings [R, planes, 2N] u32 -> RHS [R*N, ks1*L*N] i8: row (blk, r),
+    column (kj, limb, c) holds byte limb of (X^r * ring_plane)[c] — the
+    negacyclic toeplitz matrix T[r, c] = limb(ring[(c - r) mod 2N]).
+    planes = (k+1)*n_words word-planes; L = 4*n_words - limb_drop kept
+    limbs (the lowest `limb_drop` byte limbs are dropped: reduced-precision
+    external product, see ServerConfig.mxu_limb_drop)."""
+    r_blocks, planes, _ = rings.shape
+    ks1 = planes // n_words
+    x = rings[:, :, None, :]  # [R, planes, 1, 2N]
     rows = 1
     while rows < N:
         x = jnp.concatenate([x, jnp.roll(x, rows, axis=-1)], axis=2)
         rows *= 2
-    cols = x[..., :N]  # [R, k+1, N(rows), N(cols)]
+    cols = x[..., :N]  # [R, planes, N(rows), N(cols)]
     mask = np.uint32(0xFF)
+    kept = _kept_limbs(n_words, limb_drop)
     limbs = jnp.stack(
-        [((cols >> np.uint32(8 * m)) & mask).astype(jnp.int8) for m in range(4)],
-        axis=3,
-    )  # [R, k+1, N, 4, N]
-    rhs = jnp.moveaxis(limbs, 1, 2)  # [R, N, k+1, 4, N]
-    return rhs.reshape(r_blocks * N, ks1 * 4 * N)
+        [((cols[:, kj * n_words + w] >> np.uint32(8 * m)) & mask).astype(jnp.int8)
+         for kj in range(ks1) for (w, m) in kept],
+        axis=1,
+    )  # [R, (kj, limb), N, N]
+    rhs = jnp.moveaxis(limbs, 1, 2)  # [R, N, (kj, limb), N]
+    return rhs.reshape(r_blocks * N, ks1 * len(kept) * N)
 
 
 @functools.lru_cache(maxsize=None)
-def _build_tables_pallas(r_blocks: int, ks1: int, N: int):
+def _build_tables_pallas(r_blocks: int, planes: int, N: int,
+                         n_words: int = 1, limb_drop: int = 0,
+                         interpret: bool = False, tile: int | None = None):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
     mask = np.uint32(0xFF)
+    ks1 = planes // n_words
+    kept = _kept_limbs(n_words, limb_drop)
+    n_kept = len(kept)
     # Row-tile the doubling so scratch ([T, 2N] u32) and the output block
     # ([T, planes*4*N] i8) stay within VMEM at large N. Tile t seeds from
     # roll(ring, t*T) (dynamic-scalar roll), then log-doubles T rows.
-    tile = min(N, max(8, (1 << 22) // N))
+    if tile is None:
+        tile = min(N, max(8, (1 << 22) // N))
     n_tiles = N // tile
 
     def kernel(e_ref, o_ref):
         r0 = pl.program_id(1) * tile if n_tiles > 1 else 0
         for kj in range(ks1):
-            x = e_ref[0, kj][None, :]  # [1, 2N]
-            if n_tiles > 1:
-                x = pltpu.roll(x, jnp.int32(r0), axis=1)
-            rows = 1
-            while rows < tile:
-                rolled = pltpu.roll(x, np.int32(rows), axis=1)
-                x = jnp.concatenate([x, rolled], axis=0)
-                rows *= 2
-            cols = x[:, :N]
-            for m in range(4):
-                limb = (cols >> np.uint32(8 * m)) & mask
-                c0 = (kj * 4 + m) * N
-                o_ref[:, c0:c0 + N] = limb.astype(jnp.int8)
+            for w in range(n_words):
+                ms = [m for (ww, m) in kept if ww == w]
+                if not ms:
+                    continue
+                x = e_ref[0, kj * n_words + w][None, :]  # [1, 2N]
+                if n_tiles > 1:
+                    x = pltpu.roll(x, jnp.int32(r0), axis=1)
+                rows = 1
+                while rows < tile:
+                    rolled = pltpu.roll(x, np.int32(rows), axis=1)
+                    x = jnp.concatenate([x, rolled], axis=0)
+                    rows *= 2
+                cols = x[:, :N]
+                for m in ms:
+                    limb = (cols >> np.uint32(8 * m)) & mask
+                    c0 = (kj * n_kept + kept.index((w, m))) * N
+                    o_ref[:, c0:c0 + N] = limb.astype(jnp.int8)
 
     grid = (r_blocks,) if n_tiles == 1 else (r_blocks, n_tiles)
     if n_tiles == 1:
@@ -240,13 +269,15 @@ def _build_tables_pallas(r_blocks: int, ks1: int, N: int):
         kernel,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((1, ks1, 2 * N), in_index, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, planes, 2 * N), in_index, memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((tile, ks1 * 4 * N), out_index,
+        out_specs=pl.BlockSpec((tile, ks1 * n_kept * N), out_index,
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((r_blocks * N, ks1 * 4 * N), jnp.int8),
+        out_shape=jax.ShapeDtypeStruct(
+            (r_blocks * N, ks1 * n_kept * N), jnp.int8),
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
     )
 
 
@@ -264,15 +295,16 @@ def _on_tpu() -> bool:
         return False
 
 
-def build_tables(rings, N: int):
+def build_tables(rings, N: int, n_words: int = 1, limb_drop: int = 0):
     """Dispatch toeplitz expansion: Pallas on TPU, jnp elsewhere."""
-    r_blocks, ks1, _ = rings.shape
+    r_blocks, planes, _ = rings.shape
     if _on_tpu():
         # the package enables x64 globally (u64 torus support); Mosaic wants
         # i32 grid/index arithmetic, so trace the kernel in x32 mode.
         with jax.enable_x64(False):
-            return _build_tables_pallas(r_blocks, ks1, N)(rings)
-    return _build_tables_jnp(rings, N)
+            return _build_tables_pallas(
+                r_blocks, planes, N, n_words, limb_drop)(rings)
+    return _build_tables_jnp(rings, N, n_words, limb_drop)
 
 
 # ---------------------------------------------------------------------------
@@ -321,17 +353,22 @@ def recombine_limb_planes(plan: MxuPlan, s):
 
     Wrapping limb recombination via pure lane slices — the mod-2^bits
     reduction IS the two's-complement wrap. Shared by the single-device dot
-    and the tp-sharded pipeline (partial sums psum'd before recombining)."""
-    N, ks1, nl = plan.polynomial_size, plan.glwe_size, plan.n_limbs
+    and the tp-sharded pipeline (partial sums psum'd before recombining).
+    With limb_drop > 0 only the kept high limbs are present; their global
+    shifts start at 8*limb_drop (reduced-precision mode)."""
+    N, ks1, lu = plan.polynomial_size, plan.glwe_size, plan.limbs_used
     acc_t = jnp.int32 if plan.bits == 32 else jnp.int64
     out_t = jnp.uint32 if plan.bits == 32 else jnp.uint64
     outs = []
     for kj in range(ks1):
-        o = s[:, kj * nl * N: kj * nl * N + N].astype(acc_t)
-        for m in range(1, nl):
-            c0 = (kj * nl + m) * N
+        base = kj * lu * N
+        o = s[:, base: base + N].astype(acc_t)
+        if plan.limb_drop:
+            o = o << acc_t(8 * plan.limb_drop)
+        for j in range(1, lu):
+            c0 = base + j * N
             sm = s[:, c0:c0 + N].astype(acc_t)
-            o = o + (sm << acc_t(8 * m))                    # wrapping mod 2^bits
+            o = o + (sm << acc_t(8 * (plan.limb_drop + j)))  # wrapping mod 2^bits
         outs.append(o)
     out = jnp.stack(outs, axis=0)                           # [k+1, B, N]
     return jax.lax.bitcast_convert_type(out, out_t)
@@ -355,7 +392,7 @@ def external_product_mxu(cfg: ServerConfig, rings, glwe):
     flat = glwe.reshape((-1,) + glwe.shape[-2:])
     pbn = jnp.moveaxis(flat, 1, 0)                 # [k+1, B, N] poly-major
     d8 = _digit_matrix(plan, pbn)
-    rhs = build_tables(rings, plan.polynomial_size)
+    rhs = build_tables(rings, plan.polynomial_size, plan.n_words, plan.limb_drop)
     out = _toeplitz_matmul(plan, d8, rhs)          # [k+1, B, N]
     return jnp.moveaxis(out, 0, 1).reshape(lead + glwe.shape[-2:])
 
@@ -407,7 +444,7 @@ def blind_rotate_mxu(cfg: ServerConfig, bsk_rings, lut, lwe, *,
         rings_i, a_hat = xs                                  # [R,k+1,2N], [B]
         rot = polynomial.negacyclic_monomial_mul(acc, a_hat[None, :])
         d8 = _digit_matrix(plan, rot - acc)
-        rhs = build_tables(rings_i, N)
+        rhs = build_tables(rings_i, N, plan.n_words, plan.limb_drop)
         return acc + _toeplitz_matmul(plan, d8, rhs), None
 
     import os

@@ -94,10 +94,76 @@ class RandomGenerator:
     ) -> np.ndarray:
         """Uniform with probability 1-prob_zero, else zero (uniform_with_zeros.rs).
 
-        Byte consumption is data-dependent (4 bytes for the coin, then the
-        value bytes only when nonzero), so this is a sequential loop — it is
-        only used by research/test paths, never in key generation.
+        Byte consumption is data-dependent (4 coin bytes always, then the
+        value bytes only when the coin selects nonzero), so the element
+        positions form a sequential chain. Vectorized by reading the
+        worst-case byte window speculatively, evaluating the coin at *every*
+        candidate offset, and resolving the chain with pointer jumping —
+        byte-for-byte identical consumption to the sequential reference.
         """
+        if size == 0:
+            return np.zeros(0, dtype=_DTYPES[bits])
+        vb = bits // 8
+        rec = 4 + vb
+        start = self.inner.state
+        want = size * rec
+        if self.inner.bound is not None:
+            avail = self.inner.bound.gpos - self.inner.state.gpos
+            if avail < want:
+                want = int(avail)
+        raw = self.inner.generate_bytes(want)
+        w = len(raw)
+        # coin at every byte offset p (u32 LE), zero-flag per offset
+        pad = np.concatenate([raw, np.zeros(rec + 4, np.uint8)])
+        coins = (
+            pad[0:w].astype(np.uint32)
+            | (pad[1:w + 1].astype(np.uint32) << 8)
+            | (pad[2:w + 2].astype(np.uint32) << 16)
+            | (pad[3:w + 3].astype(np.uint32) << 24)
+        )
+        is_zero = coins.astype(np.float32) / np.float32(0xFFFFFFFF) < np.float32(
+            prob_zero)
+        # next-record offset from each candidate offset; clamp into a sink
+        sink = w + rec  # any end position > w means "ran past the window"
+        nxt = np.minimum(
+            np.arange(w, dtype=np.int64) + np.where(is_zero, 4, rec), sink)
+        # pointer jumping: positions of records 0..size-1 along the chain.
+        # jump holds the 2^k-records-ahead map; after k doublings pos[:2^k]
+        # is resolved, so pos[2^k:2^{k+1}] = jump[pos[:2^k]].
+        jump = np.full(sink + 1, sink, dtype=np.int64)
+        jump[:w] = nxt
+        pos = np.zeros(size, dtype=np.int64)
+        filled = 1
+        while filled < size:
+            take = min(filled, size - filled)
+            pos[filled:filled + take] = jump[pos[:take]]
+            filled += take
+            if filled < size:
+                jump = jump[jump]
+        end = int(nxt[pos[-1]]) if pos[-1] < w else sink
+        if end > w:
+            # the sequential loop would have stepped past the generator bound
+            if self.inner.bound is not None:
+                raise RuntimeError(
+                    "Tried to generate a byte outside the generator bound.")
+            # unbounded: window undersized only if every record was nonzero
+            # (want == size*rec covers that), so this cannot happen
+            raise AssertionError("speculative window undersized")  # pragma: no cover
+        nonzero = ~is_zero[pos]
+        out = np.zeros(size, dtype=_DTYPES[bits])
+        if nonzero.any():
+            vstart = pos[nonzero] + 4
+            idx = vstart[:, None] + np.arange(vb)[None, :]
+            vals = pad[idx].copy().view(
+                np.dtype(_DTYPES[bits]).newbyteorder("<"))[:, 0]
+            out[nonzero] = vals.astype(_DTYPES[bits])
+        self.inner.state = State(gpos=start.gpos + end)
+        return out
+
+    def _random_uniform_with_zeros_sequential(
+        self, size: int, prob_zero: float, bits: int = 32
+    ) -> np.ndarray:
+        """Reference sequential loop (test oracle for the vectorized path)."""
         out = np.zeros(size, dtype=_DTYPES[bits])
         for i in range(size):
             coin = int.from_bytes(bytes(self.generate_bytes(4)), "little")

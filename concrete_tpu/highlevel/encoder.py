@@ -149,12 +149,13 @@ class Encoder:
                 tmp, self.nb_bit_precision + self.nb_bit_padding)
         if self.nb_bit_padding > 0:
             tmp = tmp << DTYPE(self.nb_bit_padding)
-        # round to the message lattice when inside the security-margin band
-        # (top half-granularity of the torus, encoder/mod.rs:546 convention:
-        # start = (2^{p+1} - 1) * 2^{B - p - 1} = (1 - 2^{-(p+1)}) * 2^B)
+        # round to the message lattice when inside the security-margin band.
+        # Reference (encoder/mod.rs:571) computes (2^{p+1}-1) << (B-p), which
+        # wraps in u64 to 2^B - 2^{B-p}; we reproduce the wrapped value so
+        # round=False decoding snaps in exactly the same band.
         margin_start = DTYPE(
-            ((1 << (self.nb_bit_precision + 1)) - 1)
-            << (BITS - self.nb_bit_precision - 1)
+            (((1 << (self.nb_bit_precision + 1)) - 1)
+             << (BITS - self.nb_bit_precision)) & ((1 << BITS) - 1)
         )
         snapped = _closest_representable_array(tmp, self.nb_bit_precision)
         tmp = np.where(tmp > margin_start, snapped, tmp)

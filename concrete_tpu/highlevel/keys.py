@@ -161,7 +161,7 @@ class LWEBSK:
         *,
         mask_seed: int | None = None,
         noise_seed: int | None = None,
-        keep_coefficient_bsk: bool = True,
+        keep_coefficient_bsk: bool | None = None,
     ) -> "LWEBSK":
         cfg = bs.ServerConfig(
             lwe_dimension=sk_input.dimension,
@@ -177,7 +177,7 @@ class LWEBSK:
         std_bsk = StandardBootstrapKey.generate(
             sk_input.inner, sk_output.inner, base_log, level, sk_output.std_dev, gen
         )
-        if not keep_coefficient_bsk:
+        if keep_coefficient_bsk is not None:
             import warnings
 
             warnings.warn(
@@ -264,7 +264,11 @@ class LWEKSK:
         from ..core import bootstrap_mxu as bsx
         from ..core import lwe as lwe_ops
 
-        if bsx._on_tpu() and self.base_log <= 7:
+        # keyswitch_limbs asserts its int32 accumulation bound; fall back to
+        # the plain contraction instead of crashing at trace time when a large
+        # n_in*level configuration would exceed it.
+        limbs_ok = self.inner.data.shape[0] * self.level * 8192 < 2 ** 31
+        if bsx._on_tpu() and self.base_log <= 7 and limbs_ok:
             if self._limbs is None:
                 self._limbs = jnp.asarray(lwe_ops.ksk_to_limbs(self.inner.data))
             return lwe_ops.keyswitch_limbs(

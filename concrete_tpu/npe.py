@@ -356,6 +356,39 @@ def estimate_pbs_noise(
     return Variance.from_modular_variance(r1 + r2, bits)
 
 
+def estimate_mxu_truncation_noise(
+    lwe_dimension: int,
+    poly_size: int,
+    glwe_dimension: int,
+    base_log: int,
+    level: int,
+    limb_drop: int,
+    bits: int,
+) -> Variance:
+    """Extra PBS output noise from the reduced-precision MXU external product
+    (ServerConfig.mxu_limb_drop).
+
+    Dropping the ``limb_drop`` lowest *balanced* byte limbs rounds every GGSW
+    coefficient to the nearest multiple of 2^{8d} — an unbiased error of
+    modular variance 2^{16d}/12 that enters each external product exactly
+    like bootstrap-key noise, i.e. through the r1 term of the PBS formula
+    (operators.rs:698: n*l*(k+1)*N*(B^2+2)/12 * Var). This is the analog of
+    the reference's f64-FFT rounding noise (transform.rs:732 comment), which
+    its NPE formulas likewise model as key-noise-shaped slack. Zero when
+    limb_drop == 0 (the exact default).
+    """
+    if limb_drop == 0:
+        return Variance.from_modular_variance(0.0, bits)
+    n = float(lwe_dimension)
+    k = float(glwe_dimension)
+    b = float(1 << base_log)
+    l = float(level)
+    big_n = float(poly_size)
+    var_round = (2.0 ** (16 * limb_drop)) / 12.0
+    r = n * l * (k + 1.0) * big_n * (_sq(b) + 2.0) / 12.0 * var_round
+    return Variance.from_modular_variance(r, bits)
+
+
 def estimate_tensor_product_noise(
     poly_size: int,
     glwe_dimension: int,

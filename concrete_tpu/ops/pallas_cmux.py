@@ -103,9 +103,15 @@ def _inv_ntt_roll(x, pi: int, rp: ntt.RollNttPlans, untw_ref, wi_ref):
     return _mont_mul(x, untw_ref[pi], p, npr)
 
 
-def make_cmux_kernel(cfg, tile_b: int):
+def make_cmux_kernel(cfg, tile_b: int, interpret: bool = False):
     """Build the fused CMux pallas_call for a ServerConfig. Returns
-    fn(acc [k+1, B, N], a_hat [B], ggsw [P, l, k+1, k+1, N]) -> new acc."""
+    fn(acc [k+1, B, N], a_hat [B], ggsw [P, l, k+1, k+1, N]) -> new acc.
+
+    ``interpret=True`` runs the kernel through the Pallas interpreter so CPU
+    CI can pin bit-identity against the XLA step (tests/test_bootstrap_mxu).
+    Status: measured *slower* than the XLA scan step on v5e (Mosaic's
+    roll+select codegen trails XLA's ~2x); kept as the fused-VMEM design
+    reference, selectable via CONCRETE_TPU_PALLAS_CMUX=1."""
     rp = ntt.make_roll_plans(cfg.polynomial_size, cfg.primes)
     cc = cfg.crt_context
     n = cfg.polynomial_size
@@ -222,6 +228,7 @@ def make_cmux_kernel(cfg, tile_b: int):
                 (k_, tile_b, n), lambda g: (0, g, 0), memory_space=pltpu.VMEM
             ),
             out_shape=jax.ShapeDtypeStruct(acc.shape, acc.dtype),
+            interpret=interpret,
         )(
             a_hat[None, :].astype(jnp.int32),
             acc,

@@ -208,7 +208,8 @@ def gate_pipeline_dp_tp_mxu(cfg: bs.ServerConfig, mesh: Mesh):
             d8 = bsx._digit_matrix(plan, rot - acc)  # [B, R*N] full digits
             my = jax.lax.dynamic_slice_in_dim(
                 d8, tp_idx * blocks_local * N, blocks_local * N, axis=1)
-            rhs = bsx.build_tables(rings_i, N)       # local [R/tp*N, cols]
+            rhs = bsx.build_tables(                  # local [R/tp*N, cols]
+                rings_i, N, plan.n_words, plan.limb_drop)
             s = jax.lax.dot_general(
                 my, rhs, (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.int32)

@@ -144,3 +144,77 @@ def test_external_product_mxu_three_way_split():
     rings = jnp.asarray(bsx.bsk_to_mxu(ggsw[None], cfg)[0])
     got = np.asarray(bsx.external_product_mxu(cfg, rings, glwe))
     np.testing.assert_array_equal(got, want)
+
+
+def test_build_tables_pallas_interpret_matches_jnp():
+    """The production TPU table-build kernel (Pallas) must be bit-identical
+    to the jnp fallback every CPU test exercises. Run the kernel through the
+    Pallas interpreter so the hot path is covered in CPU CI (untiled and
+    row-tiled variants)."""
+    rng = np.random.default_rng(7)
+    for r_blocks, ks1, N, tile in [(6, 2, 128, None), (2, 3, 128, 32)]:
+        rings = jnp.asarray(rng.integers(
+            0, 1 << 32, size=(r_blocks, ks1, 2 * N), dtype=np.uint32))
+        with jax.enable_x64(False):
+            got = bsx._build_tables_pallas(
+                r_blocks, ks1, N, interpret=True, tile=tile)(rings)
+        want = bsx._build_tables_jnp(rings, N)
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
+@pytest.mark.parametrize("drop", [1, 2])
+def test_external_product_mxu_limb_drop_rounds_rings(drop):
+    """limb_drop=d must equal the exact external product against rings whose
+    d lowest packed bytes are zeroed — i.e. every toeplitz entry rounded to
+    the nearest multiple of 2^{8d} (balanced limbs round to nearest)."""
+    import dataclasses as dc
+
+    from concrete_tpu.core.ggsw import encrypt_constant_ggsw
+
+    cfg = bs.ServerConfig(
+        lwe_dimension=4, glwe_dimension=1, polynomial_size=64,
+        pbs_base_log=7, pbs_level=2, ks_base_log=4, ks_level=3)
+    sgen = SecretRandomGenerator(3)
+    glwe_sk = glwe_mod.GlweSecretKey.generate_binary(
+        cfg.glwe_dimension, cfg.polynomial_size, sgen)
+    gen = EncryptionRandomGenerator(4, 5)
+    ggsw = encrypt_constant_ggsw(
+        glwe_sk, 1, cfg.pbs_base_log, cfg.pbs_level, 2.0 ** -25, gen)
+    rng = np.random.default_rng(0)
+    glwe = jnp.asarray(rng.integers(
+        0, 1 << 32, size=(3, cfg.glwe_size, cfg.polynomial_size),
+        dtype=np.uint32))
+
+    rings = bsx.bsk_to_mxu(ggsw[None], cfg)[0]
+    cfg_fast = dc.replace(cfg, mxu_limb_drop=drop)
+    got = np.asarray(
+        bsx.external_product_mxu(cfg_fast, jnp.asarray(rings), glwe))
+
+    # the packed-word bytes ARE the balanced limbs (carries folded), so
+    # zeroing the low d bytes is exactly the rounding the fast RHS applies
+    masked = rings & np.uint32(0xFFFFFFFF << (8 * drop) & 0xFFFFFFFF)
+    want = np.asarray(
+        bsx.external_product_mxu(cfg, jnp.asarray(masked), glwe))
+    np.testing.assert_array_equal(got, want)
+
+
+def test_fast_mode_gates_tiny():
+    """Boolean gates stay correct under the reduced-precision fast mode
+    (level slice + limb drop) on the CPU/jnp path."""
+    from concrete_tpu import boolean
+
+    cks = boolean.ClientKey.new(TINY_K2, secret_seed=11)
+    sks = boolean.ServerKey.new(cks, mask_seed=12, noise_seed=13)
+    fast = sks.with_fast_mode(limb_drop=1, levels=2)
+    assert fast.cfg.pbs_level == 2 and fast.cfg.mxu_limb_drop == 1
+    a = cks.encrypt([True, True, False, False], mask_seed=14, noise_seed=15)
+    b = cks.encrypt([True, False, True, False], mask_seed=16, noise_seed=17)
+    # ntt backend (CPU default): levels reduction only
+    np.testing.assert_array_equal(
+        cks.decrypt(np.array(fast.and_(a, b))), [True, False, False, False])
+    # force the mxu (jnp fallback) path so limb_drop is exercised end-to-end
+    import dataclasses as dc
+
+    fast_mxu = dc.replace(fast, backend="mxu", _bsk_ntt=None, _bsk_mxu=None)
+    np.testing.assert_array_equal(
+        cks.decrypt(np.array(fast_mxu.or_(a, b))), [True, True, True, False])

@@ -37,7 +37,7 @@ def test_boolean_key_serde(tmp_path):
 
 def test_server_key_serde(tmp_path):
     cks = boolean.ClientKey.new(TINY, secret_seed=20)
-    sks = boolean.ServerKey.new(cks, mask_seed=21, noise_seed=22, keep_standard_bsk=True)
+    sks = boolean.ServerKey.new(cks, mask_seed=21, noise_seed=22)
     path = str(tmp_path / "sks.npz")
     sks.save(path)
     back = boolean.ServerKey.load(path)

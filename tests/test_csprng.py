@@ -199,3 +199,34 @@ def test_fork_matches_serial_mask_stream():
         np.testing.assert_array_equal(got, serial.random_uniform_array(2 * 64, 32))
         # child mask budget = exactly the mask it generates
         assert child.mask.remaining_bytes() == 0
+
+
+def test_uniform_with_zeros_vectorized_matches_sequential():
+    """The vectorized uniform-with-zeros sampler must consume the stream
+    byte-for-byte like the sequential reference loop: same values, same
+    final generator position, for every width and zero-probability."""
+    from concrete_tpu.csprng.random import RandomGenerator
+
+    for bits in (8, 16, 32, 64):
+        for prob in (0.0, 0.3, 0.9, 1.0):
+            for size in (1, 7, 64, 257):
+                a = RandomGenerator(seed=42)
+                b = RandomGenerator(seed=42)
+                va = a.random_uniform_with_zeros_array(size, prob, bits)
+                vb = b._random_uniform_with_zeros_sequential(size, prob, bits)
+                np.testing.assert_array_equal(va, vb)
+                assert a.inner.state.gpos == b.inner.state.gpos, (bits, prob, size)
+                # interleaved follow-up draw sees an identical stream
+                np.testing.assert_array_equal(
+                    a.random_uniform_array(4), b.random_uniform_array(4))
+
+
+def test_uniform_with_zeros_bounded_raises_like_sequential():
+    """A bounded generator too small for the actual consumption must raise,
+    exactly as the sequential loop does when it steps past the bound."""
+    from concrete_tpu.csprng.random import RandomGenerator
+
+    parent = RandomGenerator(seed=5)
+    child = parent.try_fork(1, 40)[0]  # 40 bytes: not enough for 16 draws
+    with np.testing.assert_raises(RuntimeError):
+        child.random_uniform_with_zeros_array(16, 0.0, 32)
