@@ -27,6 +27,7 @@ from .errors import (
 )
 from .keys import LWEBSK, LWEKSK, LWESecretKey, RLWESecretKey
 from .lwe import LWE
+from .plaintext import Plaintext
 from .vector_lwe import VectorLWE
 from .vector_rlwe import VectorRLWE
 from .params_presets import (
@@ -64,7 +65,7 @@ from .params_presets import (
 )
 
 __all__ = [
-    "Encoder", "LWE", "VectorLWE", "VectorRLWE",
+    "Encoder", "LWE", "Plaintext", "VectorLWE", "VectorRLWE",
     "LWESecretKey", "RLWESecretKey", "LWEBSK", "LWEKSK",
     "LWEParams", "RLWEParams", "CryptoAPIError",
     "DimensionError", "DeltaError", "PaddingError", "PrecisionError",

@@ -94,6 +94,17 @@ class Encoder:
         """Interval [center - radius, center + radius] (encoder/mod.rs:201)."""
         return cls.new(center - radius, center + radius, nb_bit_precision, nb_bit_padding)
 
+    @classmethod
+    def zero(cls) -> "Encoder":
+        """The invalid all-zero encoder marking an empty slot
+        (encoder/mod.rs Encoder::zero; is_valid() is False).
+
+        >>> from concrete_tpu.highlevel import Encoder
+        >>> Encoder.zero().is_valid()
+        False
+        """
+        return cls(o=0.0, delta=0.0, nb_bit_precision=0, nb_bit_padding=0)
+
     # -- introspection -------------------------------------------------------
 
     def get_granularity(self) -> float:

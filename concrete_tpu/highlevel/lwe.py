@@ -30,6 +30,21 @@ def _deltas_eq(d1: float, d2: float) -> bool:
     return abs(d1 - d2) <= max(abs(d1), abs(d2)) * 2.0 ** -45
 
 
+def _opposite_correction(encoder: Encoder) -> np.uint64:
+    """Body correction for ciphertext negation (lwe/mod.rs:1550-1563):
+    (1 << (B-pad)) - (1 << (B-pad-prec)), computed wrapping for pad == 0."""
+    with np.errstate(over="ignore"):
+        hi = (
+            DTYPE(1) << DTYPE(BITS - encoder.nb_bit_padding)
+            if encoder.nb_bit_padding > 0
+            else DTYPE(0)
+        )
+        lo = DTYPE(1) << DTYPE(
+            BITS - encoder.nb_bit_padding - encoder.nb_bit_precision
+        )
+        return (hi - lo).astype(DTYPE)
+
+
 def log2_rounding_noise(dimension: int) -> float:
     """log2 std-dev (in 2N-step units) of the PBS modulus-switch rounding.
 
@@ -67,6 +82,33 @@ class LWE:
         out = cls(data=data, encoder=encoder.copy(), variance=sk.variance)
         out.encoder.update_precision_from_variance(out.variance)
         return out
+
+    @classmethod
+    def encrypt_raw(
+        cls,
+        sk: LWESecretKey,
+        plaintexts,
+        *,
+        mask_seed: int | None = None,
+        noise_seed: int | None = None,
+    ) -> "LWE":
+        """Encrypt raw torus values without encoding (lwe/mod.rs:168
+        encrypt_raw): the encoder is left as the zero/invalid marker and the
+        variance is the key's. Raises NoNoiseInCiphertext when the key's
+        noise is too small for the integer representation."""
+        if sk.std_dev < 2.0 ** (-(BITS) + 2):
+            raise errors.NoNoiseInCiphertext(sk.variance)
+        pts = np.asarray(plaintexts, dtype=DTYPE)
+        gen = EncryptionRandomGenerator(mask_seed, noise_seed)
+        data = sk.inner.encrypt(pts, sk.std_dev, gen)
+        return cls(data=data, encoder=Encoder.zero(), variance=sk.variance)
+
+    def decrypt_raw(self, sk: LWESecretKey) -> np.ndarray:
+        """Raw phase (torus values, no decode) — vector_lwe/mod.rs:565
+        decrypt_raw semantics on the batch."""
+        if sk.dimension != self.dimension:
+            raise errors.DimensionError(self.dimension, sk.dimension)
+        return np.asarray(sk.inner.decrypt(self.data), dtype=DTYPE)
 
     @classmethod
     def zero(cls, dimension: int, shape=()) -> "LWE":
@@ -137,13 +179,15 @@ class LWE:
             raise errors.DeltaError(self.encoder.delta, other.encoder.delta)
         out = self.copy()
         out.data = self.data + other.data
-        # correction: encode(o1 + o2 - new_min) on a zero-offset encoder
+        # correction: + encode_{o=new_min}(o1 + o2), computed outside the
+        # interval check (lwe/mod.rs:545-556: wrapping_add of
+        # encode_outside_interval_operators on a tmp encoder with o=new_min)
         tmp_enc = self.encoder.copy()
-        tmp_enc.o = 0.0
-        correction = tmp_enc.encode_core(
-            np.float64(self.encoder.o + other.encoder.o - new_min)
+        tmp_enc.o = new_min
+        correction = tmp_enc.encode_outside_interval(
+            np.float64(self.encoder.o + other.encoder.o)
         )
-        out.data[..., -1] -= correction
+        out.data[..., -1] += correction
         out.encoder.o = new_min
         out.variance = self.variance + other.variance
         out.encoder.nb_bit_precision = min(
@@ -190,6 +234,62 @@ class LWE:
         out.encoder.nb_bit_precision = min(
             self.encoder.nb_bit_precision, other.encoder.nb_bit_precision
         )
+        out.encoder.update_precision_from_variance(out.variance)
+        return out
+
+    def add_with_padding_exact(self, other: "LWE") -> "LWE":
+        """Add consuming one padding bit, *growing* the message precision:
+        nb_bit_precision = max(nb1, nb2) + 1 (lwe/mod.rs:858
+        add_with_padding_exact_inplace). Unlike add_with_padding, the sum is
+        tracked exactly — no correction term, no precision clamp to min."""
+        if self.encoder.nb_bit_padding != other.encoder.nb_bit_padding:
+            raise errors.PaddingError(
+                self.encoder.nb_bit_padding, other.encoder.nb_bit_padding
+            )
+        if self.encoder.nb_bit_padding == 0:
+            raise errors.NotEnoughPaddingError(0, 1)
+        if not _deltas_eq(self.encoder.delta, other.encoder.delta):
+            raise errors.DeltaError(self.encoder.delta, other.encoder.delta)
+        if self.dimension != other.dimension:
+            raise errors.DimensionError(self.dimension, other.dimension)
+        out = self.copy()
+        out.data = self.data + other.data
+        out.variance = self.variance + other.variance
+        out.encoder.o += other.encoder.o
+        out.encoder.delta *= 2.0
+        out.encoder.nb_bit_padding -= 1
+        out.encoder.nb_bit_precision = (
+            max(self.encoder.nb_bit_precision, other.encoder.nb_bit_precision) + 1
+        )
+        out.encoder.update_precision_from_variance(out.variance)
+        return out
+
+    def sub_with_padding_exact(self, other: "LWE") -> "LWE":
+        """Subtract consuming one padding bit, growing the precision to
+        max(nb1, nb2) + 1 (lwe/mod.rs:1095 sub_with_padding_exact_inplace).
+        The body correction is the plain padding-bit recentering
+        1 << (BITS - padding) — no granularity adjustment."""
+        if self.encoder.nb_bit_padding != other.encoder.nb_bit_padding:
+            raise errors.PaddingError(
+                self.encoder.nb_bit_padding, other.encoder.nb_bit_padding
+            )
+        if self.encoder.nb_bit_padding == 0:
+            raise errors.NotEnoughPaddingError(0, 1)
+        if not _deltas_eq(self.encoder.delta, other.encoder.delta):
+            raise errors.DeltaError(self.encoder.delta, other.encoder.delta)
+        if self.dimension != other.dimension:
+            raise errors.DimensionError(self.dimension, other.dimension)
+        out = self.copy()
+        out.data = self.data - other.data
+        correction = DTYPE(1) << DTYPE(BITS - self.encoder.nb_bit_padding)
+        out.data[..., -1] += correction
+        out.encoder.o -= other.encoder.o + other.encoder.delta
+        out.encoder.delta *= 2.0
+        out.encoder.nb_bit_padding -= 1
+        out.encoder.nb_bit_precision = (
+            max(self.encoder.nb_bit_precision, other.encoder.nb_bit_precision) + 1
+        )
+        out.variance = self.variance + other.variance
         out.encoder.update_precision_from_variance(out.variance)
         return out
 
@@ -299,9 +399,17 @@ class LWE:
         return out
 
     def opposite(self) -> "LWE":
-        """Negate (lwe/mod.rs:1531)."""
+        """Negate (lwe/mod.rs:1531). The body correction re-aligns the negated
+        phase with the opposite encoder's lattice: -(t·2^{B-pad}) mod 2^B sits
+        one interval-plus-granularity off the encoding of (max - x)
+        (lwe/mod.rs:1550-1563)."""
+        if not self.encoder.is_valid():
+            raise errors.InvalidEncoderError(
+                self.encoder.nb_bit_precision, self.encoder.delta
+            )
         out = self.copy()
         out.data = (np.zeros_like(self.data) - self.data).astype(DTYPE)
+        out.data[..., -1] += _opposite_correction(self.encoder)
         out.encoder = self.encoder.opposite()
         return out
 

@@ -1,12 +1,14 @@
 """VectorRLWE: packed RLWE ciphertexts (many messages per polynomial).
 
 Mirrors concrete/src/vector_rlwe/mod.rs (1,573 LoC): encrypt whole message
-polynomials (N messages per RLWE), extract individual coefficients as LWE
-ciphertexts of dimension k*N, and constant add/mul families.
+polynomials (N messages per RLWE) or one message per ciphertext (constant
+coefficient only), extract individual coefficients as LWE ciphertexts of
+dimension k*N, and the add/mul constant families.
 
-Deviation from the reference: encoders/variances are tracked per *ciphertext*
-rather than per coefficient (packed slots share an encoder in every supported
-construction); per-coefficient tracking lands with the packing keyswitch.
+Like the reference, encoders and variances are tracked PER COEFFICIENT
+(`nb_ciphertexts * polynomial_size` of each); empty slots carry the invalid
+zero encoder and are skipped by decryption (`nb_valid`,
+vector_rlwe/mod.rs:1488).
 """
 
 from __future__ import annotations
@@ -21,12 +23,15 @@ from ..dispersion import Variance
 from . import errors
 from .encoder import BITS, DTYPE, Encoder
 from .keys import RLWESecretKey
-from .vector_lwe import VectorLWE
+from .lwe import _opposite_correction
+from .plaintext import Plaintext
+from .vector_lwe import VectorLWE, _deltas_close
 
 
 @dataclasses.dataclass
 class VectorRLWE:
-    """data: [m, k+1, N] u64; one encoder + variance per ciphertext."""
+    """data: [m, k+1, N] u64; encoders: list of m*N Encoder (coefficient
+    (i, c) at index i*N + c); variances: [m*N]."""
 
     data: np.ndarray
     encoders: list
@@ -44,12 +49,60 @@ class VectorRLWE:
     def polynomial_size(self) -> int:
         return self.data.shape[-1]
 
+    def get_ciphertext_size(self) -> int:
+        """(vector_rlwe/mod.rs:1498)."""
+        return (self.dimension + 1) * self.polynomial_size
+
+    def nb_valid(self) -> int:
+        """Number of coefficients holding a message (vector_rlwe:1488)."""
+        return sum(1 for e in self.encoders if e.is_valid())
+
     def copy(self) -> "VectorRLWE":
         return VectorRLWE(
             self.data.copy(), [e.copy() for e in self.encoders], self.variances.copy()
         )
 
-    # -- construction (vector_rlwe/mod.rs:130-260) -------------------------------
+    def _enc(self, i: int, c: int) -> Encoder:
+        return self.encoders[i * self.polynomial_size + c]
+
+    # -- construction (vector_rlwe/mod.rs:60-480) -------------------------------
+
+    @classmethod
+    def zero(cls, polynomial_size: int, dimension: int, nb_ciphertexts: int) -> "VectorRLWE":
+        """All-zero ciphertexts with invalid encoders (vector_rlwe:68)."""
+        if nb_ciphertexts == 0:
+            raise errors.DimensionError(nb_ciphertexts, 1)
+        if polynomial_size & (polynomial_size - 1):
+            raise errors.DimensionError(polynomial_size, 1 << polynomial_size.bit_length())
+        return cls(
+            data=np.zeros((nb_ciphertexts, dimension + 1, polynomial_size), dtype=DTYPE),
+            encoders=[Encoder.zero() for _ in range(nb_ciphertexts * polynomial_size)],
+            variances=np.zeros(nb_ciphertexts * polynomial_size),
+        )
+
+    @classmethod
+    def encrypt_packed(
+        cls,
+        sk: RLWESecretKey,
+        plaintexts: Plaintext,
+        *,
+        mask_seed: int | None = None,
+        noise_seed: int | None = None,
+    ) -> "VectorRLWE":
+        """Encrypt pre-encoded Plaintexts N-per-ciphertext, copying their
+        per-value encoders (vector_rlwe:130)."""
+        n = sk.polynomial_size
+        m = int(np.ceil(plaintexts.nb_plaintexts / n))
+        out = cls.zero(n, sk.dimension, m)
+        padded = np.zeros(m * n, dtype=DTYPE)
+        padded[: plaintexts.nb_plaintexts] = plaintexts.plaintexts
+        for i, e in enumerate(plaintexts.encoders):
+            enc = e.copy()
+            if enc.is_valid():
+                enc.update_precision_from_variance(sk.variance)
+            out.encoders[i] = enc
+        out.encrypt_packed_raw(sk, padded, mask_seed=mask_seed, noise_seed=noise_seed)
+        return out
 
     @classmethod
     def encode_encrypt_packed(
@@ -63,46 +116,117 @@ class VectorRLWE:
     ) -> "VectorRLWE":
         """Pack reals N-per-ciphertext and encrypt (:208)."""
         msgs = np.asarray(messages, dtype=np.float64).ravel()
+        pts = np.asarray(encoder.encode_core(msgs), dtype=DTYPE)
         n = sk.polynomial_size
-        m = int(np.ceil(len(msgs) / n))
-        padded = np.zeros(m * n, dtype=np.float64)
-        padded[: len(msgs)] = msgs
-        padded[len(msgs):] = encoder.o  # encode interval minimum for padding
-        pts = encoder.encode_core(padded).reshape(m, n)
-        gen = EncryptionRandomGenerator(mask_seed, noise_seed)
-        data = sk.inner.encrypt(pts, sk.std_dev, gen)
-        encs = [encoder.copy() for _ in range(m)]
-        for e in encs:
-            e.update_precision_from_variance(sk.variance)
-        return cls(data=data, encoders=encs, variances=np.full(m, sk.variance))
+        m = int(np.ceil(msgs.size / n))
+        out = cls.zero(n, sk.dimension, m)
+        padded = np.zeros(m * n, dtype=DTYPE)
+        padded[: msgs.size] = pts.ravel()
+        for i in range(msgs.size):
+            enc = encoder.copy()
+            enc.update_precision_from_variance(sk.variance)
+            out.encoders[i] = enc
+        out.encrypt_packed_raw(sk, padded, mask_seed=mask_seed, noise_seed=noise_seed)
+        return out
 
     @classmethod
-    def encrypt_packed(
+    def encrypt(
         cls,
         sk: RLWESecretKey,
-        plaintexts: np.ndarray,
+        plaintexts: Plaintext,
         *,
         mask_seed: int | None = None,
         noise_seed: int | None = None,
     ) -> "VectorRLWE":
-        """Encrypt raw torus plaintexts without encoding (:130)."""
-        pts = np.asarray(plaintexts, dtype=DTYPE)
+        """One RLWE per plaintext, message in the constant coefficient only
+        (vector_rlwe:287)."""
+        m = plaintexts.nb_plaintexts
         n = sk.polynomial_size
-        m = int(np.ceil(pts.size / n))
+        out = cls.zero(n, sk.dimension, m)
         padded = np.zeros(m * n, dtype=DTYPE)
-        padded.ravel()[: pts.size] = pts.ravel()
+        padded[::n] = plaintexts.plaintexts
+        for i, e in enumerate(plaintexts.encoders):
+            enc = e.copy()
+            if enc.is_valid():
+                enc.update_precision_from_variance(sk.variance)
+            out.encoders[i * n] = enc
+        out.encrypt_packed_raw(sk, padded, mask_seed=mask_seed, noise_seed=noise_seed)
+        return out
+
+    @classmethod
+    def encode_encrypt(
+        cls,
+        sk: RLWESecretKey,
+        messages,
+        encoder: Encoder,
+        *,
+        mask_seed: int | None = None,
+        noise_seed: int | None = None,
+    ) -> "VectorRLWE":
+        """One RLWE per message, encoded into the constant coefficient
+        (vector_rlwe:365)."""
+        msgs = np.asarray(messages, dtype=np.float64).ravel()
+        pts = np.asarray(encoder.encode_core(msgs), dtype=DTYPE).ravel()
+        pt = Plaintext(plaintexts=pts, encoders=[encoder.copy() for _ in msgs])
+        return cls.encrypt(sk, pt, mask_seed=mask_seed, noise_seed=noise_seed)
+
+    def encrypt_packed_raw(
+        self,
+        sk: RLWESecretKey,
+        plaintexts,
+        *,
+        mask_seed: int | None = None,
+        noise_seed: int | None = None,
+    ) -> None:
+        """Encrypt raw torus coefficients; encoders untouched
+        (vector_rlwe:423). Raises NoNoiseInCiphertext for noiseless keys."""
+        pts = np.asarray(plaintexts, dtype=DTYPE).ravel()
+        if pts.size % self.polynomial_size:
+            raise errors.DimensionError(pts.size, self.polynomial_size)
+        if sk.std_dev < 2.0 ** (-BITS + 2):
+            raise errors.NoNoiseInCiphertext(sk.variance)
         gen = EncryptionRandomGenerator(mask_seed, noise_seed)
-        data = sk.inner.encrypt(padded.reshape(m, n), sk.std_dev, gen)
-        encs = [Encoder(0.0, 1.0, 32, 0) for _ in range(m)]
-        return cls(data=data, encoders=encs, variances=np.full(m, sk.variance))
+        self.data = np.asarray(
+            sk.inner.encrypt(
+                pts.reshape(-1, self.polynomial_size), sk.std_dev, gen
+            ),
+            dtype=DTYPE,
+        )
+        self.variances = np.full(self.nb_ciphertexts * self.polynomial_size, sk.variance)
 
     # -- decryption ---------------------------------------------------------------
 
+    def _phases(self, sk: RLWESecretKey) -> np.ndarray:
+        if sk.polynomial_size != self.polynomial_size:
+            raise errors.DimensionError(sk.polynomial_size, self.polynomial_size)
+        if sk.dimension != self.dimension:
+            raise errors.DimensionError(sk.dimension, self.dimension)
+        return np.asarray(sk.inner.decrypt(self.data), dtype=DTYPE).reshape(-1)
+
     def decrypt_decode(self, sk: RLWESecretKey) -> np.ndarray:
-        phase = sk.inner.decrypt(self.data)  # [m, N]
-        return np.stack(
-            [self.encoders[i].decode_core(phase[i]) for i in range(self.nb_ciphertexts)]
+        """Decode every VALID coefficient, in order (vector_rlwe:482)."""
+        phase = self._phases(sk)
+        return np.array(
+            [e.decode_core(phase[i]) for i, e in enumerate(self.encoders) if e.is_valid()],
+            dtype=np.float64,
         )
+
+    def decrypt_decode_round(self, sk: RLWESecretKey) -> np.ndarray:
+        """(vector_rlwe:546)."""
+        phase = self._phases(sk)
+        outs = []
+        for i, e in enumerate(self.encoders):
+            if e.is_valid():
+                enc = e.copy()
+                enc.round = True
+                outs.append(enc.decode_core(phase[i]))
+        return np.array(outs, dtype=np.float64)
+
+    def decrypt_with_encoders(self, sk: RLWESecretKey):
+        """(messages, encoders) for the valid coefficients (vector_rlwe:618)."""
+        msgs = self.decrypt_decode(sk)
+        encs = [e.copy() for e in self.encoders if e.is_valid()]
+        return msgs, encs
 
     # -- coefficient extraction (vector_rlwe:671) -----------------------------------
 
@@ -120,10 +244,11 @@ class VectorRLWE:
         mask = np.roll(mask, -rot, axis=-1)  # rotate left by rot
         body = ct[k, n_coeff]
         out = np.concatenate([mask.reshape(-1), np.array([body], dtype=DTYPE)])
+        idx = n_ciphertext * n + n_coeff
         return VectorLWE(
             data=out[None, :],
-            encoders=[self.encoders[n_ciphertext].copy()],
-            variances=np.array([self.variances[n_ciphertext]]),
+            encoders=[self.encoders[idx].copy()],
+            variances=np.array([self.variances[idx]]),
         )
 
     def extract_bunch_of_lwes(self, coeffs, n_ciphertext: int) -> VectorLWE:
@@ -134,47 +259,225 @@ class VectorRLWE:
             variances=np.concatenate([o.variances for o in outs]),
         )
 
-    # -- constant families (vector_rlwe:763-1310) --------------------------------------
+    # -- pairwise ops (vector_rlwe:895-1220) -----------------------------------------
+
+    def _check_pair(self, other: "VectorRLWE", *, padding: bool) -> None:
+        if self.dimension != other.dimension:
+            raise errors.DimensionError(self.dimension, other.dimension)
+        if self.polynomial_size != other.polynomial_size:
+            raise errors.DimensionError(self.polynomial_size, other.polynomial_size)
+        for e1, e2 in zip(self.encoders, other.encoders):
+            if e1.is_valid() and e2.is_valid():
+                if padding:
+                    if e1.nb_bit_padding != e2.nb_bit_padding:
+                        raise errors.PaddingError(e1.nb_bit_padding, e2.nb_bit_padding)
+                    if e1.nb_bit_padding == 0:
+                        raise errors.NotEnoughPaddingError(0, 1)
+                if not _deltas_close(e1.delta, e2.delta):
+                    raise errors.DeltaError(e1.delta, e2.delta)
+
+    def add_centered(self, other: "VectorRLWE") -> "VectorRLWE":
+        """Per-coefficient centered addition (vector_rlwe:895)."""
+        self._check_pair(other, padding=False)
+        out = self.copy()
+        out.data = self.data + other.data
+        n = self.polynomial_size
+        out.variances = self.variances + other.variances
+        for idx, (e1, e2) in enumerate(zip(out.encoders, other.encoders)):
+            i, c = divmod(idx, n)
+            if e1.is_valid() and e2.is_valid():
+                tmp = e1.copy()
+                tmp.o = 0.0
+                correction = tmp.encode_core(np.float64(e1.delta / 2.0))
+                out.data[i, -1, c] -= correction
+                e1.o += e2.o + e1.delta / 2.0
+                e1.update_precision_from_variance(float(out.variances[idx]))
+            elif not e1.is_valid() and e2.is_valid():
+                out.encoders[idx] = e2.copy()
+                out.encoders[idx].update_precision_from_variance(
+                    float(out.variances[idx])
+                )
+        return out
+
+    def add_with_padding(self, other: "VectorRLWE") -> "VectorRLWE":
+        """Per-coefficient add consuming one padding bit (vector_rlwe:1000)."""
+        self._check_pair(other, padding=True)
+        out = self.copy()
+        out.data = self.data + other.data
+        out.variances = self.variances + other.variances
+        for idx, (e1, e2) in enumerate(zip(out.encoders, other.encoders)):
+            if e1.is_valid() and e2.is_valid():
+                e1.o += e2.o
+                e1.delta *= 2.0
+                e1.nb_bit_padding -= 1
+            elif not e1.is_valid() and e2.is_valid():
+                out.encoders[idx] = e2.copy()
+            if out.encoders[idx].is_valid():
+                out.encoders[idx].update_precision_from_variance(
+                    float(out.variances[idx])
+                )
+        return out
+
+    def sub_with_padding(self, other: "VectorRLWE") -> "VectorRLWE":
+        """Per-coefficient subtract consuming one padding bit
+        (vector_rlwe:1104)."""
+        self._check_pair(other, padding=True)
+        out = self.copy()
+        out.data = self.data - other.data
+        n = self.polynomial_size
+        for idx, (e1, e2) in enumerate(zip(self.encoders, other.encoders)):
+            if e1.is_valid() and e2.is_valid():
+                i, c = divmod(idx, n)
+                correction = DTYPE(1) << DTYPE(BITS - e1.nb_bit_padding)
+                out.data[i, -1, c] += correction
+        out.variances = self.variances + other.variances
+        for idx, (e1, e2) in enumerate(zip(out.encoders, other.encoders)):
+            if e1.is_valid() and e2.is_valid():
+                e1.o -= e2.o + e2.delta
+                e1.delta *= 2.0
+                e1.nb_bit_padding -= 1
+            elif not e1.is_valid() and e2.is_valid():
+                out.encoders[idx] = e2.copy()
+            if out.encoders[idx].is_valid():
+                out.encoders[idx].update_precision_from_variance(
+                    float(out.variances[idx])
+                )
+        return out
+
+    # -- constant families (vector_rlwe:763-1480) --------------------------------------
 
     def add_constant_static_encoder(self, messages) -> "VectorRLWE":
-        """Add constants coefficient-wise within each slot's encoder."""
-        out = self.copy()
-        msgs = np.asarray(messages, dtype=np.float64).reshape(
-            self.nb_ciphertexts, self.polynomial_size
-        )
+        """Add constants to the VALID coefficients, same encoders
+        (vector_rlwe:763): `messages` has nb_valid entries."""
         from ..torus import from_torus_f64
 
-        for i, enc in enumerate(self.encoders):
-            corr = from_torus_f64(msgs[i] / enc.delta, BITS)
+        msgs = np.asarray(messages, dtype=np.float64).ravel()
+        if msgs.size != self.nb_valid():
+            raise errors.DimensionError(msgs.size, self.nb_valid())
+        out = self.copy()
+        n = self.polynomial_size
+        j = 0
+        for idx, enc in enumerate(self.encoders):
+            if not enc.is_valid():
+                continue
+            i, c = divmod(idx, n)
+            corr = from_torus_f64(np.float64(msgs[j] / enc.delta), BITS)
             if enc.nb_bit_padding > 0:
                 corr = corr >> DTYPE(enc.nb_bit_padding)
-            out.data[i, -1, :] += corr
+            out.data[i, -1, c] += corr
+            j += 1
         return out
 
     def add_constant_dynamic_encoder(self, messages) -> "VectorRLWE":
+        """Shift the valid encoders' intervals (vector_rlwe:845)."""
+        msgs = np.asarray(messages, dtype=np.float64).ravel()
+        if msgs.size != self.nb_valid():
+            raise errors.DimensionError(msgs.size, self.nb_valid())
         out = self.copy()
-        msgs = np.broadcast_to(
-            np.asarray(messages, dtype=np.float64), (self.nb_ciphertexts,)
-        )
-        for i in range(self.nb_ciphertexts):
-            out.encoders[i].o += float(msgs[i])
+        j = 0
+        for enc in out.encoders:
+            if enc.is_valid():
+                enc.o += float(msgs[j])
+                j += 1
         return out
 
     def mul_constant_static_encoder(self, messages) -> "VectorRLWE":
-        """Multiply each ciphertext by a small integer (:1143)."""
+        """Multiply each ciphertext by a small integer (vector_rlwe:1223):
+        one constant per CIPHERTEXT."""
+        c = np.broadcast_to(
+            np.asarray(messages, dtype=np.int64), (self.nb_ciphertexts,)
+        )
         out = self.copy()
-        c = np.broadcast_to(np.asarray(messages, dtype=np.int64), (self.nb_ciphertexts,))
-        for i, enc in enumerate(self.encoders):
-            zero_pt = enc.encode_outside_interval(np.float64(0.0))
-            out.data[i] = (self.data[i] * DTYPE(int(c[i]) % (1 << BITS))).astype(DTYPE)
-            out.data[i, -1, :] -= DTYPE((int(c[i]) - 1) % (1 << BITS)) * np.full(
-                self.polynomial_size, zero_pt, dtype=DTYPE
-            )
-            v = npe.estimate_integer_plaintext_multiplication_noise(
-                Variance(float(self.variances[i])), int(abs(c[i]))
-            ).get_variance()
-            out.variances[i] = v
-            out.encoders[i].update_precision_from_variance(v)
+        n = self.polynomial_size
+        for i in range(self.nb_ciphertexts):
+            # pre-mul: subtract encoded zero on valid body coefficients
+            for cc in range(n):
+                enc = self._enc(i, cc)
+                if enc.is_valid():
+                    out.data[i, -1, cc] -= enc.encode_outside_interval(np.float64(0.0))
+            out.data[i] = (out.data[i] * DTYPE(int(c[i]) % (1 << BITS))).astype(DTYPE)
+            for cc in range(n):
+                idx = i * n + cc
+                enc = out.encoders[idx]
+                v = npe.estimate_integer_plaintext_multiplication_noise(
+                    Variance(float(self.variances[idx])), int(abs(c[i]))
+                ).get_variance()
+                out.variances[idx] = v
+                if enc.is_valid():
+                    out.data[i, -1, cc] += enc.encode_outside_interval(np.float64(0.0))
+                    enc.update_precision_from_variance(v)
+        return out
+
+    def mul_constant_with_padding(
+        self, constants, max_constant: float, nb_bit_padding: int
+    ) -> "VectorRLWE":
+        """Real-constant multiply consuming padding, one constant per
+        CIPHERTEXT (vector_rlwe:1284)."""
+        c = np.asarray(constants, dtype=np.float64).ravel()
+        if c.size != self.nb_ciphertexts:
+            raise errors.DimensionError(c.size, self.nb_ciphertexts)
+        for x in c:
+            if abs(x) > max_constant:
+                raise errors.ConstantMaximumError(float(x), max_constant)
+        for enc in self.encoders:
+            if enc.is_valid():
+                if enc.o > 0.0 or enc.o + enc.delta < 0.0:
+                    raise errors.ZeroInIntervalError(enc.o, enc.delta)
+                if enc.nb_bit_padding < nb_bit_padding:
+                    raise errors.NotEnoughPaddingError(enc.nb_bit_padding, nb_bit_padding)
+        out = self.copy()
+        n = self.polynomial_size
+        for i in range(self.nb_ciphertexts):
+            negative = c[i] < 0.0
+            c_abs = abs(float(c[i]))
+            scal = int(round(c_abs / max_constant * 2.0 ** nb_bit_padding))
+            for cc in range(n):
+                enc = self._enc(i, cc)
+                if enc.is_valid():
+                    out.data[i, -1, cc] -= enc.encode_core(np.float64(0.0))
+            out.data[i] = (out.data[i] * DTYPE(scal % (1 << BITS))).astype(DTYPE)
+            discret_c_abs = float(scal) * 2.0 ** (-nb_bit_padding) * max_constant
+            rounding_error = abs(discret_c_abs - c_abs)
+            for cc in range(n):
+                idx = i * n + cc
+                enc = out.encoders[idx]
+                v = npe.estimate_integer_plaintext_multiplication_noise(
+                    Variance(float(self.variances[idx])), scal
+                ).get_variance()
+                out.variances[idx] = v
+                if not enc.is_valid():
+                    continue
+                new_o = enc.o * max_constant
+                new_max = (enc.o + enc.delta - enc.get_granularity()) * max_constant
+                new_delta = new_max - new_o
+                granularity = enc.get_granularity()
+                mx = max(abs(enc.o + enc.delta - granularity), abs(enc.o))
+                new_granularity = 2.0 * abs(
+                    granularity * rounding_error / 2.0
+                    + granularity / 2.0 * discret_c_abs
+                    + rounding_error * mx
+                )
+                new_precision = min(
+                    int(np.floor(np.log2(new_delta / max(new_granularity, 1e-300)))),
+                    enc.nb_bit_precision,
+                )
+                new_enc = Encoder(
+                    o=new_o,
+                    delta=new_delta,
+                    nb_bit_precision=max(new_precision, 1),
+                    nb_bit_padding=enc.nb_bit_padding - nb_bit_padding,
+                    round=enc.round,
+                )
+                out.data[i, -1, cc] += new_enc.encode_core(np.float64(0.0))
+                new_enc.update_precision_from_variance(v)
+                out.encoders[idx] = new_enc
+            if negative:
+                out.data[i] = (np.zeros_like(out.data[i]) - out.data[i]).astype(DTYPE)
+                for cc in range(n):
+                    enc = out.encoders[i * n + cc]
+                    if enc.is_valid():
+                        out.data[i, -1, cc] += _opposite_correction(enc)
+                        out.encoders[i * n + cc] = enc.opposite()
         return out
 
     # -- serialization -------------------------------------------------------------

@@ -190,7 +190,8 @@ def test_vector_rlwe_pack_extract():
     enc = Encoder.new(0.0, 16.0, 6, 1)
     msgs = np.array([1.0, 2.0, 3.0, 4.0, 5.0])
     v = VectorRLWE.encode_encrypt_packed(sk_rlwe, msgs, enc, mask_seed=61, noise_seed=62)
-    dec = v.decrypt_decode(sk_rlwe)[0, :5]
+    assert v.nb_valid() == 5  # padding coefficients stay invalid
+    dec = v.decrypt_decode(sk_rlwe)
     assert_eq_granularity(enc, dec, msgs)
     # extract coefficient 2 as an LWE under the big key
     lwe = v.extract_1_lwe(2, 0)
