@@ -46,8 +46,8 @@ class Fixture:
 
     name = "fixture"
     PARAMETERS: list = []
-    REPETITIONS = 2
-    SAMPLE_SIZE = 200
+    REPETITIONS = 10   # concrete-core-test/src/lib.rs:10
+    SAMPLE_SIZE = 100  # concrete-core-test/src/lib.rs:13
 
     def run_one(self, params: dict, rep_seed: int):
         raise NotImplementedError
@@ -485,6 +485,510 @@ class U64PbsFixture(Fixture):
         assert_noise_bounded(dec, msgs, predicted, 64, slack_bits=0.5)
 
 
+class LweTrivialEncryptFixture(Fixture):
+    """Trivial LWE encryption decrypts exactly under ANY key
+    (lwe_ciphertext_trivial_encryption/decryption fixtures)."""
+
+    name = "lwe_trivial_encrypt"
+    PARAMETERS = [{"dim": 64, "bits": 32}, {"dim": 64, "bits": 64}]
+
+    def run_one(self, params, rep_seed):
+        bits = params["bits"]
+        sk = lwe_mod.LweSecretKey.generate_binary(
+            params["dim"], SecretRandomGenerator(rep_seed), bits)
+        rng = np.random.default_rng(rep_seed)
+        dt = np.uint64 if bits == 64 else np.uint32
+        pts = rng.integers(0, 1 << 32, size=self.SAMPLE_SIZE, dtype=np.uint32).astype(dt)
+        cts = lwe_mod.trivial_encrypt(pts, params["dim"], bits)
+        np.testing.assert_array_equal(lwe_mod.trivial_decrypt(cts), pts)
+        np.testing.assert_array_equal(sk.decrypt(np.asarray(cts)), pts)
+
+
+class GlweTrivialEncryptFixture(Fixture):
+    """Trivial GLWE encryption decrypts exactly under any key
+    (glwe_ciphertext_trivial_encryption fixture)."""
+
+    name = "glwe_trivial_encrypt"
+    PARAMETERS = [{"k": 1, "N": 64}, {"k": 2, "N": 128}]
+
+    def run_one(self, params, rep_seed):
+        sk = glwe_mod.GlweSecretKey.generate_binary(
+            params["k"], params["N"], SecretRandomGenerator(rep_seed))
+        rng = np.random.default_rng(rep_seed)
+        count = max(2, self.SAMPLE_SIZE // params["N"])
+        pts = rng.integers(0, 1 << 32, size=(count, params["N"]), dtype=np.uint32)
+        cts = glwe_mod.trivial_encrypt(pts, params["k"])
+        np.testing.assert_array_equal(glwe_mod.trivial_decrypt(cts), pts)
+        np.testing.assert_array_equal(sk.decrypt(np.asarray(cts)), pts)
+
+
+class LweListEncryptFixture(Fixture):
+    """Vector (list) encryption: each slot's noise matches the gaussian
+    (lwe_ciphertext_vector_encryption fixture analog)."""
+
+    name = "lwe_list_encrypt"
+    PARAMETERS = [{"dim": 96, "log_std": -17, "bits": 32},
+                  {"dim": 96, "log_std": -30, "bits": 64}]
+
+    def run_one(self, params, rep_seed):
+        bits = params["bits"]
+        sk = lwe_mod.LweSecretKey.generate_binary(
+            params["dim"], SecretRandomGenerator(rep_seed), bits)
+        gen = EncryptionRandomGenerator(rep_seed + 1, rep_seed + 2)
+        std = StandardDev(2.0 ** params["log_std"])
+        rng = np.random.default_rng(rep_seed)
+        dt = np.uint64 if bits == 64 else np.uint32
+        pts = rng.integers(0, 1 << 32, size=(4, self.SAMPLE_SIZE // 4),
+                           dtype=np.uint32).astype(dt)
+        cts = sk.encrypt(pts, std.std_dev, gen)          # leading list shape
+        dec = sk.decrypt(cts)
+        assert_noise_distribution(
+            dec.ravel(), pts.ravel(), std, bits, seed=rep_seed * 13 + 5)
+
+
+class GlweListEncryptFixture(Fixture):
+    """GLWE list encryption noise (glwe_ciphertext_vector_encryption)."""
+
+    name = "glwe_list_encrypt"
+    PARAMETERS = [{"k": 1, "N": 64, "log_std": -20}]
+
+    def run_one(self, params, rep_seed):
+        sk = glwe_mod.GlweSecretKey.generate_binary(
+            params["k"], params["N"], SecretRandomGenerator(rep_seed))
+        gen = EncryptionRandomGenerator(rep_seed + 1, rep_seed + 2)
+        std = StandardDev(2.0 ** params["log_std"])
+        rng = np.random.default_rng(rep_seed)
+        pts = rng.integers(0, 1 << 32, size=(3, 2, params["N"]), dtype=np.uint32)
+        cts = sk.encrypt(pts, std.std_dev, gen)          # [3, 2, k+1, N]
+        dec = sk.decrypt(cts)
+        assert_noise_distribution(
+            dec.ravel(), pts.ravel(), std, 32, seed=rep_seed * 11 + 9)
+
+
+class GgswEncryptionFixture(Fixture):
+    """GGSW constant encryption: the body rows of each level matrix encrypt
+    m * q/B^(j+1) with the configured noise (ggsw_ciphertext_encryption
+    fixture analog)."""
+
+    name = "ggsw_encrypt"
+    PARAMETERS = [{"k": 1, "N": 64, "base_log": 7, "levels": 3},
+                  {"k": 2, "N": 64, "base_log": 6, "levels": 2}]
+    SAMPLE_SIZE = 64
+
+    def run_one(self, params, rep_seed):
+        from .core.ggsw import encrypt_constant_ggsw
+
+        k, N, bl, lv = params["k"], params["N"], params["base_log"], params["levels"]
+        sk = glwe_mod.GlweSecretKey.generate_binary(
+            k, N, SecretRandomGenerator(rep_seed))
+        gen = EncryptionRandomGenerator(rep_seed + 1, rep_seed + 2)
+        std = StandardDev(2.0 ** -25)
+        m = 1
+        reps = max(1, self.SAMPLE_SIZE // (lv * N))
+        body_dec, body_want = [], []
+        for r in range(reps):
+            ggsw = encrypt_constant_ggsw(sk, m, bl, lv, std.std_dev, gen)
+            # ggsw: [levels, k+1, k+1, N]; the last row of level j is a GLWE
+            # of m * q/B^(j+1) in coefficient 0
+            for j in range(lv):
+                body = ggsw[j, k]                      # [k+1, N] GLWE
+                dec = sk.decrypt(np.asarray(body)[None])[0]
+                want = np.zeros(N, dtype=np.uint32)
+                want[0] = np.uint32((m << (32 - bl * (j + 1))) % (1 << 32))
+                body_dec.append(dec)
+                body_want.append(want)
+        assert_noise_distribution(
+            np.concatenate(body_dec), np.concatenate(body_want), std, 32,
+            seed=rep_seed * 7 + 3)
+
+
+class GswExternalProductFixture(Fixture):
+    """Scalar GSW external product selects m * ct exactly on trivial-noise
+    operands and within noise bounds otherwise (gsw/tests.rs analog)."""
+
+    name = "gsw_external_product"
+    PARAMETERS = [{"dim": 32, "base_log": 8, "levels": 3}]
+    SAMPLE_SIZE = 32
+
+    def run_one(self, params, rep_seed):
+        from .core import gsw
+
+        sk = lwe_mod.LweSecretKey.generate_binary(
+            params["dim"], SecretRandomGenerator(rep_seed))
+        gen = EncryptionRandomGenerator(rep_seed + 1, rep_seed + 2)
+        rng = np.random.default_rng(rep_seed)
+        for bit in (0, 1):
+            g = gsw.encrypt_constant_gsw(
+                sk, bit, params["base_log"], params["levels"], 2.0 ** -25, gen)
+            pts = rng.integers(0, 1 << 32, size=self.SAMPLE_SIZE, dtype=np.uint32)
+            cts = sk.encrypt(pts, 2.0 ** -20, gen)
+            out = np.array(gsw.external_product(
+                jnp.asarray(g), jnp.asarray(cts),
+                base_log=params["base_log"], level_count=params["levels"]))
+            dec = sk.decrypt(out)
+            want = pts if bit else np.zeros_like(pts)
+            predicted = npe.estimate_external_product_noise_with_binary_ggsw(
+                1, params["dim"], StandardDev(2.0 ** -20), StandardDev(2.0 ** -25),
+                params["base_log"], params["levels"], 32)
+            assert_noise_bounded(dec, want, predicted, 32, slack_bits=1.0)
+
+
+class LweAddFixture(Fixture):
+    """ct1 + ct2 phase = pt1 + pt2 with variance var1 + var2 (KS test;
+    lwe_ciphertext_add fixture analog)."""
+
+    name = "lwe_add"
+    PARAMETERS = [{"dim": 128, "log_std": -18, "bits": 32}]
+
+    def run_one(self, params, rep_seed):
+        bits = params["bits"]
+        sk = lwe_mod.LweSecretKey.generate_binary(
+            params["dim"], SecretRandomGenerator(rep_seed), bits)
+        gen = EncryptionRandomGenerator(rep_seed + 1, rep_seed + 2)
+        std = StandardDev(2.0 ** params["log_std"])
+        rng = np.random.default_rng(rep_seed)
+        p1 = rng.integers(0, 1 << 32, size=self.SAMPLE_SIZE, dtype=np.uint32)
+        p2 = rng.integers(0, 1 << 32, size=self.SAMPLE_SIZE, dtype=np.uint32)
+        out = np.array(lwe_mod.add(
+            jnp.asarray(sk.encrypt(p1, std.std_dev, gen)),
+            jnp.asarray(sk.encrypt(p2, std.std_dev, gen))))
+        with np.errstate(over="ignore"):
+            want = (p1 + p2).astype(np.uint32)
+        predicted = npe.estimate_addition_noise(
+            Variance(std.get_variance()), Variance(std.get_variance()), bits)
+        assert_noise_distribution(
+            sk.decrypt(out), want,
+            StandardDev(predicted.get_standard_dev()), bits, seed=rep_seed * 3 + 11)
+
+
+class LweSubOppositeFixture(Fixture):
+    """Subtraction and negation: phases track exactly, noise adds
+    (lwe_ciphertext_opposite / sub fixture analogs)."""
+
+    name = "lwe_sub_opposite"
+    PARAMETERS = [{"dim": 128, "log_std": -18}]
+
+    def run_one(self, params, rep_seed):
+        sk = lwe_mod.LweSecretKey.generate_binary(
+            params["dim"], SecretRandomGenerator(rep_seed))
+        gen = EncryptionRandomGenerator(rep_seed + 1, rep_seed + 2)
+        std = StandardDev(2.0 ** params["log_std"])
+        rng = np.random.default_rng(rep_seed)
+        p1 = rng.integers(0, 1 << 32, size=self.SAMPLE_SIZE, dtype=np.uint32)
+        p2 = rng.integers(0, 1 << 32, size=self.SAMPLE_SIZE, dtype=np.uint32)
+        c1 = sk.encrypt(p1, std.std_dev, gen)
+        c2 = sk.encrypt(p2, std.std_dev, gen)
+        with np.errstate(over="ignore"):
+            sub_want = (p1 - p2).astype(np.uint32)
+            neg_want = (np.uint32(0) - p1).astype(np.uint32)
+        sub_out = np.array(lwe_mod.sub(jnp.asarray(c1), jnp.asarray(c2)))
+        predicted = npe.estimate_addition_noise(
+            Variance(std.get_variance()), Variance(std.get_variance()), 32)
+        assert_noise_bounded(sk.decrypt(sub_out), sub_want, predicted, 32,
+                             slack_bits=0.5)
+        neg_out = np.array(lwe_mod.neg(jnp.asarray(c1)))
+        assert_noise_bounded(sk.decrypt(neg_out), neg_want,
+                             Variance(std.get_variance()), 32, slack_bits=0.5)
+
+
+class LwePlaintextArithFixture(Fixture):
+    """Plaintext add/sub shift the phase exactly; noise unchanged
+    (lwe_ciphertext_plaintext_add/sub fixtures)."""
+
+    name = "lwe_plaintext_arith"
+    PARAMETERS = [{"dim": 128, "log_std": -18, "bits": 32},
+                  {"dim": 64, "log_std": -30, "bits": 64}]
+
+    def run_one(self, params, rep_seed):
+        bits = params["bits"]
+        dt = np.uint64 if bits == 64 else np.uint32
+        sk = lwe_mod.LweSecretKey.generate_binary(
+            params["dim"], SecretRandomGenerator(rep_seed), bits)
+        gen = EncryptionRandomGenerator(rep_seed + 1, rep_seed + 2)
+        std = StandardDev(2.0 ** params["log_std"])
+        rng = np.random.default_rng(rep_seed)
+        pts = rng.integers(0, 1 << 32, size=self.SAMPLE_SIZE, dtype=np.uint32).astype(dt)
+        delta = dt(rng.integers(1, 1 << 31))
+        cts = sk.encrypt(pts, std.std_dev, gen)
+        base = sk.decrypt(cts)
+        with np.errstate(over="ignore"):
+            add_out = sk.decrypt(np.array(lwe_mod.add_plaintext(jnp.asarray(cts), delta)))
+            sub_out = sk.decrypt(np.array(lwe_mod.sub_plaintext(jnp.asarray(cts), delta)))
+            np.testing.assert_array_equal(add_out, (base + delta).astype(dt))
+            np.testing.assert_array_equal(sub_out, (base - delta).astype(dt))
+
+
+class LweCleartextMulFixture(Fixture):
+    """Cleartext multiplication: phase scales exactly, noise scales by c
+    (lwe_ciphertext_cleartext_mul fixture)."""
+
+    name = "lwe_cleartext_mul"
+    PARAMETERS = [{"dim": 128, "log_std": -20, "c": 5}]
+
+    def run_one(self, params, rep_seed):
+        sk = lwe_mod.LweSecretKey.generate_binary(
+            params["dim"], SecretRandomGenerator(rep_seed))
+        gen = EncryptionRandomGenerator(rep_seed + 1, rep_seed + 2)
+        std = StandardDev(2.0 ** params["log_std"])
+        rng = np.random.default_rng(rep_seed)
+        pts = rng.integers(0, 1 << 32, size=self.SAMPLE_SIZE, dtype=np.uint32)
+        cts = sk.encrypt(pts, std.std_dev, gen)
+        c = params["c"]
+        out = np.array(lwe_mod.scalar_mul(jnp.asarray(cts), np.uint32(c)))
+        with np.errstate(over="ignore"):
+            want = (pts * np.uint32(c)).astype(np.uint32)
+        predicted = npe.estimate_integer_plaintext_multiplication_noise(
+            Variance(std.get_variance()), c)
+        assert_noise_distribution(
+            sk.decrypt(out), want, StandardDev(predicted.get_standard_dev()),
+            32, seed=rep_seed * 29 + 1)
+
+
+class PackingKeyswitchBatchFixture(Fixture):
+    """Batch packing: a list of LWEs lands in ONE GLWE, coefficient i from
+    LWE i, each within the keyswitch noise bound
+    (packing_keyswitch_ciphertext_vector fixture analog)."""
+
+    name = "packing_keyswitch_batch"
+    PARAMETERS = [{"n_in": 32, "k": 1, "N": 64, "base_log": 6, "levels": 4}]
+    SAMPLE_SIZE = 64
+
+    def run_one(self, params, rep_seed):
+        from .core import packing
+        from .core.lwe import LweSecretKey
+
+        sgen = SecretRandomGenerator(rep_seed)
+        lwe_sk = LweSecretKey.generate_binary(params["n_in"], sgen)
+        glwe_sk = glwe_mod.GlweSecretKey.generate_binary(params["k"], params["N"], sgen)
+        gen = EncryptionRandomGenerator(rep_seed + 1, rep_seed + 2)
+        ks_std = StandardDev(2.0 ** -25)
+        ct_std = StandardDev(2.0 ** -20)
+        pksk = packing.PackingKeyswitchKey.generate(
+            lwe_sk, glwe_sk, params["base_log"], params["levels"], ks_std.std_dev, gen)
+        rng = np.random.default_rng(rep_seed)
+        m = params["N"] // 2                       # partial fill
+        pts = rng.integers(0, 1 << 32, size=m, dtype=np.uint32)
+        cts = lwe_sk.encrypt(pts, ct_std.std_dev, gen)
+        out = np.array(packing.packing_keyswitch(
+            jnp.asarray(pksk.data), jnp.asarray(cts),
+            base_log=params["base_log"], level_count=params["levels"]))
+        dec = glwe_sk.decrypt(out[None])[0][:m]
+        # every output coefficient sums the keyswitch noise of ALL m inputs
+        # (each input lands as X^i * KS(LWE_i) and the GLWEs are added)
+        per_input = npe.estimate_keyswitch_noise_with_constant_terms(
+            params["n_in"], ct_std, ks_std, params["base_log"], params["levels"], 32)
+        predicted = Variance(per_input.get_variance() * m)
+        assert_noise_bounded(dec, pts, predicted, 32, slack_bits=0.5)
+
+
+class GlweNttConversionFixture(Fixture):
+    """GLWE coefficient <-> NTT domain round trip is exact — the std<->Fourier
+    conversion fixture analog (conversion engines)."""
+
+    name = "glwe_ntt_conversion"
+    PARAMETERS = [{"k": 1, "N": 64, "bits": 32}, {"k": 2, "N": 128, "bits": 32},
+                  {"k": 1, "N": 64, "bits": 64}]
+
+    def run_one(self, params, rep_seed):
+        cfg = bs.ServerConfig(
+            lwe_dimension=8, glwe_dimension=params["k"],
+            polynomial_size=params["N"], pbs_base_log=6, pbs_level=2,
+            ks_base_log=2, ks_level=5, bits=params["bits"])
+        rng = np.random.default_rng(rep_seed)
+        dt = np.uint64 if params["bits"] == 64 else np.uint32
+        ct = rng.integers(0, 1 << 32, size=(3, params["k"] + 1, params["N"]),
+                          dtype=np.uint32).astype(dt)
+        spec = glwe_mod.glwe_to_ntt(ct, cfg.primes, params["bits"])
+        back = glwe_mod.glwe_from_ntt(spec, cfg.primes, params["bits"])
+        np.testing.assert_array_equal(np.asarray(back), ct)
+
+
+class BskConversionCrossBackendFixture(Fixture):
+    """BSK standard -> NTT and standard -> MXU-rings conversions agree: the
+    external products they feed are bit-identical (the Fourier-conversion
+    fixture analog, checked at the op level since both domains are exact)."""
+
+    name = "bsk_conversion_cross_backend"
+    PARAMETERS = [{"k": 1, "N": 64, "base_log": 7, "levels": 2}]
+    SAMPLE_SIZE = 16
+
+    def run_one(self, params, rep_seed):
+        from .core import bootstrap_mxu as bsx
+        from .core.ggsw import encrypt_constant_ggsw, ggsw_to_ntt
+
+        cfg = bs.ServerConfig(
+            lwe_dimension=8, glwe_dimension=params["k"],
+            polynomial_size=params["N"], pbs_base_log=params["base_log"],
+            pbs_level=params["levels"], ks_base_log=2, ks_level=5)
+        sk = glwe_mod.GlweSecretKey.generate_binary(
+            params["k"], params["N"], SecretRandomGenerator(rep_seed))
+        gen = EncryptionRandomGenerator(rep_seed + 1, rep_seed + 2)
+        ggsw = encrypt_constant_ggsw(
+            sk, 1, params["base_log"], params["levels"], 2.0 ** -25, gen)
+        rng = np.random.default_rng(rep_seed)
+        cts = rng.integers(0, 1 << 32,
+                           size=(self.SAMPLE_SIZE, params["k"] + 1, params["N"]),
+                           dtype=np.uint32)
+        out_ntt = np.array(bs.external_product(
+            cfg, ggsw_to_ntt(ggsw, cfg.primes, 32), jnp.asarray(cts)))
+        rings = jnp.asarray(bsx.bsk_to_mxu(ggsw[None], cfg)[0])
+        out_mxu = np.array(bsx.external_product_mxu(cfg, rings, cts))
+        np.testing.assert_array_equal(out_ntt, out_mxu)
+
+
+class LweKeyDistributionsFixture(Fixture):
+    """Encrypt/decrypt under ternary, gaussian, and uniform keys — the
+    reference's per-key-kind fixture instantiations (BinaryKeyKind/... markers)."""
+
+    name = "lwe_key_distributions"
+    PARAMETERS = [{"dim": 96, "log_std": -17}]
+
+    def run_one(self, params, rep_seed):
+        gen_makers = [
+            lwe_mod.LweSecretKey.generate_ternary,
+            lwe_mod.LweSecretKey.generate_gaussian,
+            lwe_mod.LweSecretKey.generate_uniform,
+        ]
+        std = StandardDev(2.0 ** params["log_std"])
+        rng = np.random.default_rng(rep_seed)
+        for i, maker in enumerate(gen_makers):
+            sk = maker(params["dim"], SecretRandomGenerator(rep_seed + i))
+            gen = EncryptionRandomGenerator(rep_seed + 10 + i, rep_seed + 20 + i)
+            pts = rng.integers(0, 1 << 32, size=self.SAMPLE_SIZE, dtype=np.uint32)
+            cts = sk.encrypt(pts, std.std_dev, gen)
+            assert_noise_distribution(
+                sk.decrypt(cts), pts, std, 32, seed=rep_seed * 5 + i)
+
+
+class ModulusSwitchFixture(Fixture):
+    """pbs_modulus_switch rounding error within the NPE modswitch bound."""
+
+    name = "modulus_switch"
+    PARAMETERS = [{"N": 128, "dim": 64}, {"N": 1024, "dim": 128}]
+
+    def run_one(self, params, rep_seed):
+        N, dim = params["N"], params["dim"]
+        rng = np.random.default_rng(rep_seed)
+        vals = rng.integers(0, 1 << 32, size=(self.SAMPLE_SIZE, dim + 1),
+                            dtype=np.uint32)
+        switched = np.asarray(bs.pbs_modulus_switch(jnp.asarray(vals), N, 0, 0))
+        # each element maps to the nearest multiple of 2^32/2N: |err| <= half
+        back = (switched.astype(np.uint64) << np.uint64(32 - 1 - int(np.log2(N)))) \
+            .astype(np.uint32)
+        with np.errstate(over="ignore"):
+            err = (vals - back).astype(np.int32).astype(np.float64)
+        half_step = 2.0 ** 32 / (2 * N) / 2
+        assert np.abs(err).max() <= half_step + 1, np.abs(err).max()
+
+
+class MultiLutPbsFixture(Fixture):
+    """Multi-LUT PBS: 2^lcl functions of one input from ONE blind rotation,
+    each track within the standard PBS noise bound (LutCountLog machinery)."""
+
+    name = "multi_lut_pbs"
+    PARAMETERS = [{"n": 12, "k": 1, "N": 128, "base_log": 8, "levels": 2,
+                   "lcl": 1}]
+    SAMPLE_SIZE = 16
+
+    def run_one(self, params, rep_seed):
+        cfg = bs.ServerConfig(
+            lwe_dimension=params["n"], glwe_dimension=params["k"],
+            polynomial_size=params["N"], pbs_base_log=params["base_log"],
+            pbs_level=params["levels"], ks_base_log=2, ks_level=5)
+        sgen = SecretRandomGenerator(rep_seed)
+        lwe_sk = lwe_mod.LweSecretKey.generate_binary(params["n"], sgen)
+        glwe_sk = glwe_mod.GlweSecretKey.generate_binary(
+            params["k"], params["N"], sgen)
+        gen = EncryptionRandomGenerator(rep_seed + 1, rep_seed + 2)
+        bsk_std = StandardDev(2.0 ** -25)
+        bsk = StandardBootstrapKey.generate(
+            lwe_sk, glwe_sk, params["base_log"], params["levels"],
+            bsk_std.std_dev, gen)
+        bsk_ntt = bsk_to_ntt(bsk.data, cfg.primes, 32)
+        lcl = params["lcl"]
+        eighth = np.uint32(1 << 29)
+        neg_eighth = np.uint32((-(1 << 29)) % (1 << 32))
+        rng = np.random.default_rng(rep_seed)
+        signs = rng.integers(0, 2, size=self.SAMPLE_SIZE).astype(bool)
+        msgs = np.where(signs, eighth, neg_eighth)
+        cts = lwe_sk.encrypt(msgs, 2.0 ** -20, gen)
+        # track t holds constant (t+1)/8
+        N = params["N"]
+        lut = np.zeros(N, dtype=np.uint32)
+        for t in range(1 << lcl):
+            lut[t::1 << lcl] = np.uint32((t + 1) << 29)
+        acc = np.zeros((params["k"] + 1, N), dtype=np.uint32)
+        acc[-1] = lut
+        outs = np.array(bs.bootstrap_many_lut(
+            cfg, bsk_ntt, jnp.asarray(acc), jnp.asarray(cts), lcl))
+        big = glwe_sk.into_lwe_key()
+        predicted = npe.estimate_pbs_noise(
+            params["n"], N, params["k"], params["base_log"],
+            params["levels"], bsk_std, 32)
+        for t in range(1 << lcl):
+            dec = big.decrypt(outs[t])
+            want_mag = np.uint32((t + 1) << 29)
+            want = np.where(signs, want_mag,
+                            (np.uint32(0) - want_mag).astype(np.uint32))
+            assert_noise_bounded(dec, want, predicted, 32, slack_bits=1.0)
+
+
+class U64KeyswitchFixture(Fixture):
+    """u64-torus keyswitch within the NPE bound (Precision64 keyswitch)."""
+
+    name = "lwe_keyswitch_u64"
+    PARAMETERS = [{"n_in": 64, "n_out": 32, "base_log": 4, "levels": 5}]
+
+    def run_one(self, params, rep_seed):
+        sgen = SecretRandomGenerator(rep_seed)
+        in_key = lwe_mod.LweSecretKey.generate_binary(params["n_in"], sgen, 64)
+        out_key = lwe_mod.LweSecretKey.generate_binary(params["n_out"], sgen, 64)
+        gen = EncryptionRandomGenerator(rep_seed + 1, rep_seed + 2)
+        ks_std = StandardDev(2.0 ** -40)
+        ct_std = StandardDev(2.0 ** -35)
+        ksk = lwe_mod.LweKeyswitchKey.generate(
+            in_key, out_key, params["base_log"], params["levels"],
+            ks_std.std_dev, gen)
+        rng = np.random.default_rng(rep_seed)
+        pts = (rng.integers(0, 1 << 32, size=self.SAMPLE_SIZE, dtype=np.uint32)
+               .astype(np.uint64) << np.uint64(32))
+        cts = in_key.encrypt(pts, ct_std.std_dev, gen)
+        out = np.array(lwe_mod.keyswitch(
+            jnp.asarray(ksk.data), jnp.asarray(cts),
+            base_log=params["base_log"], level_count=params["levels"]))
+        predicted = npe.estimate_keyswitch_noise_with_constant_terms(
+            params["n_in"], ct_std, ks_std, params["base_log"],
+            params["levels"], 64)
+        assert_noise_bounded(out_key.decrypt(out), pts, predicted, 64,
+                             slack_bits=0.5)
+
+
+class GlweArithFixture(Fixture):
+    """GLWE add/sub: polynomials add exactly, noise adds (glwe arithmetic
+    fixture analog; wrapping tensor arith on ciphertext arrays)."""
+
+    name = "glwe_arith"
+    PARAMETERS = [{"k": 1, "N": 64, "log_std": -20}]
+
+    def run_one(self, params, rep_seed):
+        sk = glwe_mod.GlweSecretKey.generate_binary(
+            params["k"], params["N"], SecretRandomGenerator(rep_seed))
+        gen = EncryptionRandomGenerator(rep_seed + 1, rep_seed + 2)
+        std = StandardDev(2.0 ** params["log_std"])
+        rng = np.random.default_rng(rep_seed)
+        m1 = rng.integers(0, 1 << 32, size=(4, params["N"]), dtype=np.uint32)
+        m2 = rng.integers(0, 1 << 32, size=(4, params["N"]), dtype=np.uint32)
+        c1 = sk.encrypt(m1, std.std_dev, gen)
+        c2 = sk.encrypt(m2, std.std_dev, gen)
+        with np.errstate(over="ignore"):
+            add_dec = sk.decrypt((c1 + c2).astype(np.uint32))
+            want = (m1 + m2).astype(np.uint32)
+        predicted = npe.estimate_addition_noise(
+            Variance(std.get_variance()), Variance(std.get_variance()), 32)
+        assert_noise_bounded(add_dec.ravel(), want.ravel(), predicted, 32,
+                             slack_bits=0.5)
+
+
 ALL_FIXTURES = [
     LweEncryptDecryptFixture,
     GlweEncryptDecryptFixture,
@@ -496,6 +1000,24 @@ ALL_FIXTURES = [
     CmuxFixture,
     PbsFixture,
     U64PbsFixture,
+    LweTrivialEncryptFixture,
+    GlweTrivialEncryptFixture,
+    LweListEncryptFixture,
+    GlweListEncryptFixture,
+    GgswEncryptionFixture,
+    GswExternalProductFixture,
+    LweAddFixture,
+    LweSubOppositeFixture,
+    LwePlaintextArithFixture,
+    LweCleartextMulFixture,
+    PackingKeyswitchBatchFixture,
+    GlweNttConversionFixture,
+    BskConversionCrossBackendFixture,
+    LweKeyDistributionsFixture,
+    ModulusSwitchFixture,
+    MultiLutPbsFixture,
+    U64KeyswitchFixture,
+    GlweArithFixture,
 ]
 
 
