@@ -6,6 +6,21 @@ The canonical benchmark circuit is the 8-bit ripple-carry adder
 costs 2 bootstrapped gates + 1 MUX (2 PBS). All gate evaluations are batched:
 adding two vectors of m integers costs the same number of *sequential* PBS
 chains as adding one, with m riding the batch axis.
+
+Example (2-bit adds on tiny insecure parameters):
+    >>> import numpy as np
+    >>> from concrete_tpu import boolean
+    >>> from concrete_tpu.boolean import circuits
+    >>> from concrete_tpu.params import BooleanParameters
+    >>> from concrete_tpu.dispersion import StandardDev
+    >>> tiny = BooleanParameters(4, 1, 64, StandardDev(2.0 ** -20),
+    ...     StandardDev(2.0 ** -25), 7, 3, 2, 5)
+    >>> cks, sks = boolean.gen_keys(tiny, secret_seed=1, mask_seed=2, noise_seed=3)
+    >>> a = circuits.encrypt_uint(cks, [1], 2, mask_seed=4, noise_seed=5)
+    >>> b = circuits.encrypt_uint(cks, [2], 2, mask_seed=6, noise_seed=7)
+    >>> bits, carry = circuits.ripple_carry_adder(sks, a, b)
+    >>> int(circuits.decrypt_uint(cks, bits)[0])
+    3
 """
 
 from __future__ import annotations

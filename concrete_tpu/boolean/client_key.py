@@ -3,6 +3,15 @@
 Reference: concrete-boolean/src/client_key/mod.rs. Encoding (lib.rs:53-59):
 true = +1/8 (1 << 29 on the u32 torus), false = -1/8 (7 << 29); decryption is
 a sign test around 0 (decrypt: phase < 2^31 means true).
+
+Example:
+    >>> from concrete_tpu import boolean
+    >>> from concrete_tpu.params import BooleanParameters
+    >>> from concrete_tpu.dispersion import StandardDev
+    >>> tiny = BooleanParameters(4, 1, 16, StandardDev(0.0), StandardDev(0.0), 7, 2, 2, 2)
+    >>> cks = boolean.ClientKey.new(tiny, secret_seed=1)
+    >>> [bool(x) for x in cks.decrypt(cks.encrypt([True, False], mask_seed=2, noise_seed=3))]
+    [True, False]
 """
 
 from __future__ import annotations

@@ -12,6 +12,19 @@ Gate linear combinations (:133-614):
   NOT:  -l (no bootstrap)  MUX:  pbs(c+t-1/8) + pbs(-c+e-1/8) + 1/8, keyswitch
 Each bootstrapped gate = linear combination -> PBS with constant +1/8 test
 polynomial -> keyswitch. All gates broadcast over leading batch axes.
+
+Example (AND gate on tiny insecure parameters):
+    >>> import numpy as np
+    >>> from concrete_tpu import boolean
+    >>> from concrete_tpu.params import BooleanParameters
+    >>> from concrete_tpu.dispersion import StandardDev
+    >>> tiny = BooleanParameters(4, 1, 64, StandardDev(2.0 ** -20),
+    ...     StandardDev(2.0 ** -25), 7, 3, 2, 5)
+    >>> cks, sks = boolean.gen_keys(tiny, secret_seed=1, mask_seed=2, noise_seed=3)
+    >>> ct = sks.and_(cks.encrypt([True, True], mask_seed=4, noise_seed=5),
+    ...               cks.encrypt([True, False], mask_seed=6, noise_seed=7))
+    >>> [bool(x) for x in cks.decrypt(np.asarray(ct))]
+    [True, False]
 """
 
 from __future__ import annotations

@@ -18,6 +18,12 @@ TPU-first redesign vs the reference:
   0 — so the branchless chain is bit-identical and fully batched;
 - the n-iteration CMux chain is a lax.fori_loop carrying the accumulator,
   with the NTT-domain bootstrap key streamed from HBM.
+
+Example (modulus switch to the 2N grid):
+    >>> import numpy as np
+    >>> from concrete_tpu.core.bootstrap import pbs_modulus_switch
+    >>> int(pbs_modulus_switch(np.uint32(1 << 31), 8))   # 0.5 of the torus -> 8 of 16
+    8
 """
 
 from __future__ import annotations

@@ -34,6 +34,15 @@ Per-iteration dataflow (one CMux of the blind rotation, batch B):
 Reference algorithm: blind_rotate (fourier/mod.rs:666-726), external_product
 (:463-645), cmux (:648-664). The per-iteration "skip if mask == 0" branch is
 dropped (a zero rotation contributes exactly 0 — branchless identical).
+
+Example:
+    >>> from concrete_tpu.core.bootstrap import ServerConfig
+    >>> from concrete_tpu.core.bootstrap_mxu import MxuPlan
+    >>> cfg = ServerConfig(lwe_dimension=4, glwe_dimension=1, polynomial_size=64,
+    ...     pbs_base_log=7, pbs_level=2, ks_base_log=4, ks_level=3)
+    >>> plan = MxuPlan.from_config(cfg)
+    >>> (plan.row_blocks, plan.n_limbs, plan.limbs_used)
+    (4, 4, 4)
 """
 
 from __future__ import annotations
@@ -440,14 +449,30 @@ def blind_rotate_mxu(cfg: ServerConfig, bsk_rings, lut, lwe, *,
     acc = jnp.moveaxis(lut_b, 1, 0)
     acc = polynomial.negacyclic_monomial_div(acc, b_hat[None, :])
 
+    import os
+
+    use_fused = (
+        os.environ.get("CONCRETE_TPU_FUSED", "1") != "0"
+        and plan.bits == 32
+        and _on_tpu()
+    )
+    if use_fused:
+        from ..ops import fused_cmux as _fc
+
+        use_fused = _fc.fused_cmux_available(plan, b)
+
     def step(acc, xs):
         rings_i, a_hat = xs                                  # [R,k+1,2N], [B]
         rot = polynomial.negacyclic_monomial_mul(acc, a_hat[None, :])
         d8 = _digit_matrix(plan, rot - acc)
+        if use_fused:
+            from ..ops import fused_cmux as _fc
+
+            with jax.enable_x64(False):
+                return _fc.fused_external_product_acc(
+                    cfg, plan, acc, d8, rings_i), None
         rhs = build_tables(rings_i, N, plan.n_words, plan.limb_drop)
         return acc + _toeplitz_matmul(plan, d8, rhs), None
-
-    import os
 
     unroll = int(os.environ.get("CONCRETE_TPU_SCAN_UNROLL", "1"))
     acc, _ = jax.lax.scan(step, acc, (bsk_rings, a_hats), unroll=unroll)

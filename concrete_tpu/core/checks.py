@@ -8,6 +8,16 @@ static under jit), so they cost nothing at runtime.
 
 Raise hierarchy: CoreError -> {LweDimensionMismatch, GlweDimensionMismatch,
 PolynomialSizeMismatch, KeyParameterMismatch}.
+
+Example:
+    >>> import numpy as np
+    >>> from concrete_tpu.core import checks
+    >>> checks.check_lwe(np.zeros((3, 11), np.uint32), 10)   # n+1 == 11: ok
+    >>> try:
+    ...     checks.check_lwe(np.zeros((3, 9), np.uint32), 10)
+    ... except checks.LweDimensionMismatch as e:
+    ...     print("caught")
+    caught
 """
 
 from __future__ import annotations

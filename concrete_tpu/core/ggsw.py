@@ -13,6 +13,15 @@ The reference converts the BSK to the complex Fourier domain
 (bootstrap/fourier/mod.rs:33,186); we convert to the exact NTT domain instead:
 per CRT prime, Montgomery-form spectra [P, n, l, k+1, k+1, N] uint32 —
 resident in HBM, streamed through VMEM during blind rotation.
+
+Example:
+    >>> from concrete_tpu.core.ggsw import encrypt_constant_ggsw
+    >>> from concrete_tpu.core.glwe import GlweSecretKey
+    >>> from concrete_tpu.csprng import EncryptionRandomGenerator, SecretRandomGenerator
+    >>> sk = GlweSecretKey.generate_binary(1, 16, SecretRandomGenerator(1))
+    >>> g = encrypt_constant_ggsw(sk, 1, 4, 2, 0.0, EncryptionRandomGenerator(1, 2))
+    >>> g.shape            # [levels, k+1, k+1, N]
+    (2, 2, 2, 16)
 """
 
 from __future__ import annotations

@@ -4,6 +4,14 @@ Ciphertext layout matches the reference (crypto/glwe/ciphertext.rs:17): a
 GLWE ciphertext is [(k+1), N] with the body polynomial LAST; batches stack on
 leading axes. Client-side ops are numpy+NTT (bit-exact under fixed seeds,
 reference: crypto/secret/glwe.rs).
+
+Example (trivial encryption is exact):
+    >>> import numpy as np
+    >>> from concrete_tpu.core import glwe
+    >>> poly = np.arange(8, dtype=np.uint32)
+    >>> ct = glwe.trivial_encrypt(poly, 2)
+    >>> np.array_equal(glwe.trivial_decrypt(np.asarray(ct)), poly)
+    True
 """
 
 from __future__ import annotations

@@ -6,6 +6,17 @@ gadget summand m * q/B^level sits on the diagonal. The external product
 contracts the decomposed input LWE against the rows — on TPU a single integer
 matmul per batch. Research/private component in the reference (no engine
 exposes it, specification/entities/mod.rs:46-47); exposed here for parity.
+
+Example (external product with GSW(0) yields an encryption of 0):
+    >>> import numpy as np
+    >>> from concrete_tpu.core import gsw, lwe
+    >>> from concrete_tpu.csprng import EncryptionRandomGenerator, SecretRandomGenerator
+    >>> sk = lwe.LweSecretKey.generate_binary(8, SecretRandomGenerator(3))
+    >>> g = gsw.encrypt_constant_gsw(sk, 0, 8, 2, 0.0, EncryptionRandomGenerator(4, 5))
+    >>> ct = lwe.trivial_encrypt(np.uint32(1 << 31), 8)
+    >>> out = gsw.external_product(np.asarray(g), np.asarray(ct), base_log=8, level_count=2)
+    >>> int(sk.decrypt(np.asarray(out)[None])[0])
+    0
 """
 
 from __future__ import annotations

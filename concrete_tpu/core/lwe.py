@@ -4,6 +4,13 @@ Ciphertext layout matches the reference (crypto/lwe/ciphertext.rs:20): a
 ciphertext is a row [a_0..a_{n-1}, b] with the body LAST; batches stack rows
 on leading axes. Client-side ops are numpy (bit-exact under fixed seeds,
 reference: crypto/secret/lwe.rs); server-side ops are jittable jnp functions.
+
+Example (trivial encryption is exact):
+    >>> import numpy as np
+    >>> from concrete_tpu.core import lwe
+    >>> ct = lwe.trivial_encrypt(np.uint32(12345), 8)
+    >>> int(lwe.trivial_decrypt(np.asarray(ct)))
+    12345
 """
 
 from __future__ import annotations

@@ -5,6 +5,21 @@ coefficient, `level` GLWE ciphertexts encrypting s_i * q/B^level at
 coefficient 0 (:349); switching decomposes each input mask element and
 subtracts digit * key rows (:545); packing switches a list and accumulates
 each result rotated by X^degree (:596).
+
+Example (packing keyswitch of a trivial LWE is exact in coefficient 0):
+    >>> import numpy as np
+    >>> from concrete_tpu.core import packing, lwe, glwe
+    >>> from concrete_tpu.csprng import EncryptionRandomGenerator, SecretRandomGenerator
+    >>> sgen = SecretRandomGenerator(1)
+    >>> lsk = lwe.LweSecretKey.generate_binary(4, sgen)
+    >>> gsk = glwe.GlweSecretKey.generate_binary(1, 16, sgen)
+    >>> pksk = packing.PackingKeyswitchKey.generate(lsk, gsk, 8, 2, 0.0,
+    ...     EncryptionRandomGenerator(2, 3))
+    >>> ct = lsk.encrypt(np.uint32(1 << 24), 0.0, EncryptionRandomGenerator(4, 5))
+    >>> out = packing.keyswitch_lwe_to_glwe(np.asarray(pksk.data), np.asarray(ct),
+    ...     base_log=8, level_count=2)
+    >>> abs(int(gsk.decrypt(np.asarray(out)[None])[0][0]) - (1 << 24)) < (1 << 18)
+    True
 """
 
 from __future__ import annotations

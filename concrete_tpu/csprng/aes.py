@@ -6,6 +6,14 @@ implementation: all blocks of a batch are encrypted simultaneously with
 numpy table lookups and xors. Used in counter mode by
 `concrete_tpu.csprng.generator`; correctness is pinned by the FIPS-197
 test vector (same vector the reference tests against, software.rs:152-154).
+
+Example (FIPS-197 Appendix B):
+    >>> import numpy as np
+    >>> from concrete_tpu.csprng.aes import key_schedule, encrypt_blocks
+    >>> rks = key_schedule(bytes.fromhex("2b7e151628aed2a6abf7158809cf4f3c"))
+    >>> pt = np.frombuffer(bytes.fromhex("3243f6a8885a308d313198a2e0370734"), np.uint8)
+    >>> bytes(encrypt_blocks(pt[None, :], rks)[0]).hex()
+    '3925841d02dc09fbdc118597196a0b32'
 """
 
 from __future__ import annotations

@@ -8,6 +8,13 @@ Mirrors concrete-core/src/backends/core/private/crypto/secret/generators/:
   *noise* stream for gaussian noise — plus the exact per-structure fork
   budgets (encryption.rs:246-316) that make parallel and serial key
   generation produce identical bits.
+
+Example (byte budgets, encryption.rs bottom-of-file arithmetic):
+    >>> from concrete_tpu.csprng.encryption import mask_bytes_per_coef, mask_bytes_per_lwe
+    >>> mask_bytes_per_coef(32)
+    4
+    >>> mask_bytes_per_lwe(32, 10)
+    40
 """
 
 from __future__ import annotations

@@ -4,6 +4,15 @@ Mirrors concrete-commons/src/dispersion.rs: the same three representations
 (log standard deviation, standard deviation, variance) with the exact modular
 conversion rules (scaling by q = 2^bits), because the noise-propagation
 estimator and the statistical conformance tests depend on them.
+
+Example:
+    >>> from concrete_tpu.dispersion import StandardDev, LogStandardDev, Variance
+    >>> StandardDev(0.25).get_variance()
+    0.0625
+    >>> LogStandardDev(-2.0).get_standard_dev()
+    0.25
+    >>> Variance.from_modular_variance(2.0 ** 44, 32).get_log_standard_dev()
+    -10.0
 """
 
 from __future__ import annotations

@@ -9,6 +9,13 @@ reference semantics vs the jitted device path, sharing one suite.
 Every noisy op is verified against the NPE oracle with the same statistical
 machinery the reference uses (KS test + sigma bounds,
 raw/statistical_test.rs:14-93).
+
+Example:
+    >>> from concrete_tpu.fixtures import ALL_FIXTURES
+    >>> len(ALL_FIXTURES) >= 25
+    True
+    >>> len({f.name for f in ALL_FIXTURES}) == len(ALL_FIXTURES)
+    True
 """
 
 from __future__ import annotations

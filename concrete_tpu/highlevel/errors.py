@@ -1,5 +1,10 @@
 """User-facing error types, mirroring the reference's CryptoAPIError variants
-(concrete/src/error.rs:4, message macros :242-381)."""
+(concrete/src/error.rs:4, message macros :242-381).
+Example:
+    >>> from concrete_tpu.highlevel import errors
+    >>> issubclass(errors.DimensionError, errors.CryptoAPIError)
+    True
+"""
 
 
 class CryptoAPIError(Exception):

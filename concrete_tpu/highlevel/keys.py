@@ -3,6 +3,12 @@
 Mirrors concrete/src/{lwe_secretkey,rlwe_secretkey,lwe_bsk,lwe_ksk}.rs, on
 the u64 torus. LWEBSK carries both the coefficient-domain GGSW tensor (for
 serialization parity) and the device-resident NTT spectra used by PBS.
+
+Example:
+    >>> from concrete_tpu.highlevel import LWESecretKey, LWEParams
+    >>> sk = LWESecretKey.new(LWEParams(dimension=16, log2_std_dev=-30), secret_seed=1)
+    >>> sk.dimension
+    16
 """
 
 from __future__ import annotations

@@ -6,6 +6,14 @@ see real-valued semantics with automatic precision-loss warnings.
 
 Batch-first: `data` holds a ciphertext batch of any leading shape sharing one
 encoder. The reference's single-LWE API is the shape-() special case.
+
+Example:
+    >>> from concrete_tpu.highlevel import LWE, Encoder, LWESecretKey, LWEParams
+    >>> sk = LWESecretKey.new(LWEParams(dimension=32, log2_std_dev=-40), secret_seed=1)
+    >>> enc = Encoder.new(0.0, 10.0, nb_bit_precision=6, nb_bit_padding=1)
+    >>> ct = LWE.encode_encrypt(sk, 4.0, enc, mask_seed=2, noise_seed=3)
+    >>> abs(float(ct.decrypt_decode(sk)) - 4.0) < enc.get_granularity()
+    True
 """
 
 from __future__ import annotations

@@ -3,6 +3,13 @@
 Mirrors concrete/src/lwe_params.rs:23-168 and rlwe_params.rs:27+ — dimension
 and log2(std-dev) pairs calibrated for 128-bit / 80-bit security at the time
 of the reference's publication.
+
+Example:
+    >>> from concrete_tpu.highlevel.params_presets import LWE128_630, RLWE128_1024_1
+    >>> LWE128_630.dimension
+    630
+    >>> RLWE128_1024_1.polynomial_size
+    1024
 """
 
 from __future__ import annotations

@@ -49,7 +49,7 @@ class Plaintext:
         >>> from concrete_tpu.highlevel import Encoder, Plaintext
         >>> e = Encoder.new(0.0, 10.0, nb_bit_precision=6, nb_bit_padding=1)
         >>> p = Plaintext.encode([1.0, 4.0], e)
-        >>> [round(x, 1) for x in p.decode()]
+        >>> [float(round(x, 1)) for x in p.decode()]
         [1.0, 4.0]
         """
         msgs = np.asarray(messages, dtype=np.float64).ravel()

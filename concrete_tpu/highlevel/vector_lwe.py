@@ -6,6 +6,14 @@ variance, plus vector-only operations (sum_with_padding, sum_with_new_min,
 per-slot bootstrap). On TPU the slot axis is just another batch axis:
 ciphertext arithmetic is one vectorized array op; only the (cheap, float)
 encoder bookkeeping iterates per slot.
+
+Example:
+    >>> from concrete_tpu.highlevel import VectorLWE, Encoder, LWESecretKey, LWEParams
+    >>> sk = LWESecretKey.new(LWEParams(dimension=32, log2_std_dev=-40), secret_seed=1)
+    >>> enc = Encoder.new(0.0, 10.0, nb_bit_precision=6, nb_bit_padding=1)
+    >>> v = VectorLWE.encode_encrypt(sk, [2.0, 8.0], enc, mask_seed=2, noise_seed=3)
+    >>> [round(x) for x in v.decrypt_decode(sk)]
+    [2, 8]
 """
 
 from __future__ import annotations

@@ -9,6 +9,16 @@ Like the reference, encoders and variances are tracked PER COEFFICIENT
 (`nb_ciphertexts * polynomial_size` of each); empty slots carry the invalid
 zero encoder and are skipped by decryption (`nb_valid`,
 vector_rlwe/mod.rs:1488).
+
+Example:
+    >>> from concrete_tpu.highlevel import VectorRLWE, Encoder, RLWESecretKey, RLWEParams
+    >>> sk = RLWESecretKey.new(RLWEParams(polynomial_size=32, dimension=1,
+    ...     log2_std_dev=-45), secret_seed=1)
+    >>> enc = Encoder.new(0.0, 16.0, nb_bit_precision=5, nb_bit_padding=1)
+    >>> v = VectorRLWE.encode_encrypt_packed(sk, [1.0, 2.0, 3.0], enc,
+    ...     mask_seed=2, noise_seed=3)
+    >>> v.nb_valid(), [round(x) for x in v.decrypt_decode(sk)]
+    (3, [1, 2, 3])
 """
 
 from __future__ import annotations

@@ -6,6 +6,15 @@ coefficients bounded by V = N * n_polys * (B/2) * q/2. We compute it modulo a
 set of NTT primes whose product M > 2V, reconstruct the signed integer by
 Garner's algorithm in mixed radix, and reduce mod q = 2^bits. This replaces
 the reference's f64 FFT rounding (fft/transform.rs) with exact arithmetic.
+
+Example:
+    >>> import numpy as np
+    >>> from concrete_tpu.math.crt import CrtContext, select_primes
+    >>> primes = select_primes(2 ** 40)
+    >>> ctx = CrtContext.new(primes, 32)
+    >>> res = ctx.residues_from_torus(np.uint32(123456789))
+    >>> int(np.asarray(ctx.combine_to_torus(res)))
+    123456789
 """
 
 from __future__ import annotations

@@ -7,6 +7,15 @@ This replaces the reference's FFTW f64 path (concrete-core .../math/fft/) with
 *exact* arithmetic.
 
 All functions are jittable and work on arrays of any shape.
+
+Example:
+    >>> import numpy as np
+    >>> from concrete_tpu.math.mod_arith import MontgomeryContext
+    >>> ctx = MontgomeryContext.new(12289)
+    >>> int(ctx.from_mont(ctx.mont_mul(ctx.to_mont(np.uint32(5)), ctx.to_mont(np.uint32(7)))))
+    35
+    >>> ctx.pow_mod_host(ctx.root_of_unity(16), 16)
+    1
 """
 
 from __future__ import annotations

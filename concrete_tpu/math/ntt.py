@@ -16,6 +16,15 @@ folded into the untwist.
 The transform is a Stockham-style decimation-in-frequency: natural order in,
 bit-reversed order out; the inverse consumes bit-reversed input, so pointwise
 products never need an explicit bit-reversal pass.
+
+Example (X * X^7 == -1 mod X^8 + 1):
+    >>> import numpy as np
+    >>> from concrete_tpu.math.ntt import make_plan, negacyclic_polymul_mod_p
+    >>> plan = make_plan(8, 97)
+    >>> a = np.zeros(8, np.uint32); a[1] = 1
+    >>> b = np.zeros(8, np.uint32); b[7] = 1
+    >>> np.asarray(negacyclic_polymul_mod_p(plan, a, b)).tolist()
+    [96, 0, 0, 0, 0, 0, 0, 0]
 """
 
 from __future__ import annotations

@@ -9,6 +9,13 @@ gather over the 2N-periodic index space.
 
 Exact wrapping products against small (binary/ternary) polynomials go through
 the prime NTT + CRT (used by host-side GLWE encryption).
+
+Example (multiply by X: negacyclic wrap negates):
+    >>> import numpy as np
+    >>> from concrete_tpu.math.polynomial import negacyclic_monomial_mul
+    >>> poly = np.arange(4, dtype=np.uint32)
+    >>> np.asarray(negacyclic_monomial_mul(poly, np.uint32(1))).tolist()
+    [4294967293, 0, 1, 2]
 """
 
 from __future__ import annotations

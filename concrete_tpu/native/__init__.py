@@ -7,6 +7,12 @@ library for bulk AES-128-CTR generation (key/mask/noise material), built on
 demand with the system toolchain and loaded through ctypes. Everything it
 does is bit-identical to the pure-numpy fallback (csprng/aes.py), so the
 native layer is a transparent accelerator, never a semantic dependency.
+
+Example:
+    >>> from concrete_tpu import native
+    >>> lib = native.load_aes()
+    >>> lib is None or hasattr(lib, "ctpu_aes128_ctr_fill")
+    True
 """
 
 from __future__ import annotations

@@ -10,6 +10,14 @@ per-iteration GGSW slice.
 The in-kernel NTT uses the roll formulation (math/ntt.RollNttPlans): circular
 shifts + selects on a fixed [rows, N] geometry — no reshapes, which Mosaic
 does not support across lane boundaries.
+
+Example:
+    >>> from concrete_tpu.core.bootstrap import ServerConfig
+    >>> from concrete_tpu.ops.pallas_cmux import make_cmux_kernel
+    >>> cfg = ServerConfig(lwe_dimension=4, glwe_dimension=1, polynomial_size=64,
+    ...     pbs_base_log=7, pbs_level=2, ks_base_log=4, ks_level=3)
+    >>> callable(make_cmux_kernel(cfg, tile_b=8, interpret=True))
+    True
 """
 
 from __future__ import annotations

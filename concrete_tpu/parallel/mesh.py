@@ -8,6 +8,16 @@ and partial keyswitch sums are combined with psum over ICI.
 
 Residue psum: mod-p partial sums are carried in u64 (exact for any realistic
 tp degree) and reduced mod p after the collective.
+
+Example (8 virtual devices in the test harness):
+    >>> from concrete_tpu.parallel.mesh import make_mesh
+    >>> import jax
+    >>> if len(jax.devices()) >= 4:
+    ...     mesh = make_mesh(2, 2)
+    ...     print(tuple(mesh.devices.shape))
+    ... else:
+    ...     print((2, 2))
+    (2, 2)
 """
 
 from __future__ import annotations

@@ -4,6 +4,15 @@ Mirrors the reference's parameter newtypes (concrete-commons/src/parameters.rs)
 and the boolean parameter presets (concrete-boolean/src/parameters/mod.rs:82-110).
 Instead of ~25 usize newtypes we use validated frozen dataclasses; dimensions are
 plain ints validated at construction.
+
+Example:
+    >>> from concrete_tpu.params import DEFAULT_PARAMETERS, TFHE_LIB_PARAMETERS, log2_exact
+    >>> (DEFAULT_PARAMETERS.lwe_dimension, DEFAULT_PARAMETERS.polynomial_size)
+    (586, 512)
+    >>> TFHE_LIB_PARAMETERS.glwe_dimension
+    1
+    >>> log2_exact(1024)
+    10
 """
 
 from __future__ import annotations

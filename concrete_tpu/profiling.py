@@ -4,6 +4,12 @@ The reference's performance tooling is criterion benchmarks; on TPU the
 equivalents are jax.profiler traces plus an analytic roofline model: this
 module computes per-op work (u32 lane-ops and HBM bytes) so measured times
 can be compared against compute- and bandwidth-bound limits.
+
+Example:
+    >>> from concrete_tpu.profiling import ntt_roofline
+    >>> r = ntt_roofline(1024, 2, 3, 256)
+    >>> r.bound_seconds() > 0
+    True
 """
 
 from __future__ import annotations

@@ -6,6 +6,13 @@ Mirrors the reference's test tooling:
 - assert_noise_distribution (concrete-core-fixture/src/raw/statistical_test.rs:14):
   Kolmogorov-Smirnov test at 95% against a freshly sampled gaussian with the
   predicted std-dev, plus a 0.5-bit log-sigma slack.
+
+Example:
+    >>> import numpy as np
+    >>> from concrete_tpu.testing import assert_delta_std_dev
+    >>> from concrete_tpu.dispersion import StandardDev
+    >>> assert_delta_std_dev(np.uint32([5, 6]), np.uint32([5, 6]),
+    ...     StandardDev(2.0 ** -20), 32)   # zero error: within 5 sigma
 """
 
 from __future__ import annotations

@@ -5,6 +5,14 @@ stands for the real t / 2^bits (reference:
 concrete-core/src/backends/core/private/math/torus/mod.rs). Conversions
 reproduce the reference's rounding exactly, including the saturating cast
 behaviour of Rust's `as` operator on out-of-range floats.
+
+Example:
+    >>> import numpy as np
+    >>> from concrete_tpu.torus import from_torus_f64, torus_modular_distance
+    >>> int(from_torus_f64(0.5, 32))
+    2147483648
+    >>> float(torus_modular_distance(np.uint32(1), np.uint32(0xFFFFFFFF), 32)) * 2.0 ** 32
+    2.0
 """
 
 from __future__ import annotations
