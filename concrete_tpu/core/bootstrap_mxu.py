@@ -451,8 +451,10 @@ def blind_rotate_mxu(cfg: ServerConfig, bsk_rings, lut, lwe, *,
 
     import os
 
+    # opt-in while the fused kernel trails the XLA path (see
+    # docs/performance.md "fused kernel" notes; Mosaic dot rate is the gap)
     use_fused = (
-        os.environ.get("CONCRETE_TPU_FUSED", "1") != "0"
+        os.environ.get("CONCRETE_TPU_FUSED", "0") == "1"
         and plan.bits == 32
         and _on_tpu()
     )
