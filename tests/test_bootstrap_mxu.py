@@ -218,3 +218,67 @@ def test_fast_mode_gates_tiny():
     fast_mxu = dc.replace(fast, backend="mxu", _bsk_ntt=None, _bsk_mxu=None)
     np.testing.assert_array_equal(
         cks.decrypt(np.array(fast_mxu.or_(a, b))), [True, True, True, False])
+
+
+def test_pallas_cmux_kernel_interpret_matches_xla_step():
+    """The dormant fused Pallas CMux kernel (ops/pallas_cmux, env-gated via
+    CONCRETE_TPU_PALLAS_CMUX) must stay bit-identical to the XLA scan step —
+    run through the interpreter so the kernel cannot rot in CPU CI
+    (VERDICT round-1 item #8)."""
+    from concrete_tpu.math import ntt as ntt_mod
+    from concrete_tpu.math import polynomial
+    from concrete_tpu.core.bootstrap import _external_product_stacked
+    from concrete_tpu.ops import pallas_cmux
+
+    cfg = bs.ServerConfig(
+        lwe_dimension=4, glwe_dimension=1, polynomial_size=64,
+        pbs_base_log=6, pbs_level=2, ks_base_log=4, ks_level=3)
+    if len(cfg.primes) != 2:
+        pytest.skip("kernel specialized to 2 CRT primes")
+    rng = np.random.default_rng(11)
+    B = 8
+    ks1, N, l, P = cfg.glwe_size, cfg.polynomial_size, cfg.pbs_level, 2
+    acc = jnp.asarray(rng.integers(0, 1 << 32, size=(ks1, B, N), dtype=np.uint32))
+    a_hat = jnp.asarray(rng.integers(0, 2 * N, size=(B,), dtype=np.int32))
+    ggsw = jnp.asarray(np.stack(
+        [rng.integers(0, p, size=(l, ks1, ks1, N), dtype=np.uint32)
+         for p in cfg.primes], axis=0))
+
+    sp = ntt_mod.make_stacked_plans(N, cfg.primes)
+    rotated = polynomial.negacyclic_monomial_mul(acc, a_hat[None, :])
+    want = np.asarray(acc + _external_product_stacked(cfg, sp, ggsw, rotated - acc))
+
+    with jax.enable_x64(False):
+        kern = pallas_cmux.make_cmux_kernel(cfg, tile_b=B, interpret=True)
+        got = np.asarray(kern(acc, a_hat, ggsw))
+    np.testing.assert_array_equal(got, want)
+
+
+@pytest.mark.parametrize("k,l,bl,drop", [(1, 3, 7, 0), (2, 2, 8, 0), (1, 2, 7, 1)])
+def test_fused_cmux_kernel_interpret_matches_xla(k, l, bl, drop):
+    """The fused table-build+dot+recombine kernel (ops/fused_cmux, env-gated
+    via CONCRETE_TPU_FUSED) must be bit-identical to the XLA external-product
+    accumulation across glwe dims, digit splits, and limb drops."""
+    import dataclasses as dc
+
+    from concrete_tpu.ops import fused_cmux as fc
+
+    cfg = bs.ServerConfig(
+        lwe_dimension=4, glwe_dimension=k, polynomial_size=64,
+        pbs_base_log=bl, pbs_level=l, ks_base_log=4, ks_level=3,
+        mxu_limb_drop=drop)
+    plan = bsx.MxuPlan.from_config(cfg)
+    rng = np.random.default_rng(k * 10 + l)
+    R, ks1, N = plan.row_blocks, plan.glwe_size, cfg.polynomial_size
+    B = 8
+    rings = jnp.asarray(rng.integers(0, 1 << 32, size=(R, ks1, 2 * N), dtype=np.uint32))
+    glwe = jnp.asarray(rng.integers(0, 1 << 32, size=(B, ks1, N), dtype=np.uint32))
+    acc = jnp.asarray(rng.integers(0, 1 << 32, size=(ks1, B, N), dtype=np.uint32))
+    pbn = jnp.moveaxis(glwe, 1, 0)
+    d8 = bsx._digit_matrix(plan, pbn)
+    rhs = bsx._build_tables_jnp(rings, N, plan.n_words, plan.limb_drop)
+    want = np.asarray(acc + bsx._toeplitz_matmul(plan, d8, rhs))
+    with jax.enable_x64(False):
+        got = np.asarray(fc.fused_external_product_acc(
+            cfg, plan, acc, d8, rings, interpret=True))
+    np.testing.assert_array_equal(got, want)
