@@ -282,3 +282,42 @@ def test_fused_cmux_kernel_interpret_matches_xla(k, l, bl, drop):
         got = np.asarray(fc.fused_external_product_acc(
             cfg, plan, acc, d8, rings, interpret=True))
     np.testing.assert_array_equal(got, want)
+
+
+def test_external_product_mxu_limb_drop_u64():
+    """u64 torus limb_drop: dropping d global byte limbs equals the exact
+    external product against rings whose low-word packed bytes are zeroed
+    (the u64 reduced-precision regime has d up to 6)."""
+    import dataclasses as dc
+
+    from concrete_tpu.core.ggsw import encrypt_constant_ggsw
+
+    drop = 2
+    cfg = bs.ServerConfig(
+        lwe_dimension=4, glwe_dimension=1, polynomial_size=64,
+        pbs_base_log=7, pbs_level=2, ks_base_log=4, ks_level=3, bits=64)
+    sgen = SecretRandomGenerator(3)
+    glwe_sk = glwe_mod.GlweSecretKey.generate_binary(
+        cfg.glwe_dimension, cfg.polynomial_size, sgen, bits=64)
+    gen = EncryptionRandomGenerator(4, 5)
+    ggsw = encrypt_constant_ggsw(
+        glwe_sk, 1, cfg.pbs_base_log, cfg.pbs_level, 2.0 ** -45, gen)
+    rng = np.random.default_rng(0)
+    glwe = jnp.asarray(rng.integers(
+        0, 1 << 64, size=(3, cfg.glwe_size, cfg.polynomial_size),
+        dtype=np.uint64))
+
+    rings = bsx.bsk_to_mxu(ggsw[None], cfg)[0]   # [R, ks1*2, 2N] u32 words
+    cfg_fast = dc.replace(cfg, mxu_limb_drop=drop)
+    got = np.asarray(
+        bsx.external_product_mxu(cfg_fast, jnp.asarray(rings), glwe))
+
+    # zero the low `drop` packed bytes of every LOW word plane (w == 0)
+    masked = rings.copy()
+    lowmask = np.uint32(0xFFFFFFFF << (8 * drop) & 0xFFFFFFFF)
+    masked = masked.reshape(rings.shape[0], -1, 2, rings.shape[-1])
+    masked[:, :, 0, :] &= lowmask
+    masked = masked.reshape(rings.shape)
+    want = np.asarray(
+        bsx.external_product_mxu(cfg, jnp.asarray(masked), glwe))
+    np.testing.assert_array_equal(got, want)
