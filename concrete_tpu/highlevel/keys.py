@@ -122,6 +122,40 @@ class LWEBSK:
             return "ntt"
         return "mxu"
 
+    def with_fast_mode(self, *, limb_drop: int = 2,
+                       levels: int | None = None) -> "LWEBSK":
+        """Reduced-precision evaluation twin over the same key material.
+
+        The u64 torus has deep limb-drop headroom: dropping d of the 8 GGSW
+        byte limbs adds unbiased rounding noise of relative std
+        ~2^{10+8d-64} (2^-38 at d=2, 2^-22 at d=4) — tracked analytically by
+        npe.estimate_mxu_truncation_noise and folded into every bootstrap's
+        variance update. ``levels`` keeps only the most-significant PBS
+        decomposition levels. Ciphertexts and client keys are unchanged."""
+        cfg = self.cfg.with_fast_mode(limb_drop=limb_drop, levels=levels)
+        return dataclasses.replace(
+            self, cfg=cfg,
+            coefficient_bsk=self.coefficient_bsk[:, : cfg.pbs_level],
+            _bsk_ntt=None, _bsk_mxu=None)
+
+    def bootstrap_output_variance(self, lwe_dimension: int) -> float:
+        """PBS output variance incl. the reduced-precision term when this
+        key runs in fast mode on the MXU backend."""
+        from .. import npe as _npe
+        from ..dispersion import Variance as _V
+
+        var = _npe.estimate_pbs_noise(
+            lwe_dimension, self.polynomial_size, self.dimension,
+            self.base_log, self.level, _V(self.variance), BITS,
+        ).get_variance()
+        drop = getattr(self.cfg, "mxu_limb_drop", 0)
+        if drop and self.resolved_backend() == "mxu":
+            var += _npe.estimate_mxu_truncation_noise(
+                lwe_dimension, self.polynomial_size, self.dimension,
+                self.base_log, self.level, drop, BITS,
+            ).get_variance()
+        return var
+
     @property
     def bsk_ntt(self):
         if self._bsk_ntt is None:

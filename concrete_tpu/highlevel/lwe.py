@@ -478,15 +478,7 @@ class LWE:
         out_data = np.array(
             bsk.run_bootstrap(accumulator, jnp.asarray(ct.data))
         )
-        new_var = npe.estimate_pbs_noise(
-            self.dimension,
-            bsk.polynomial_size,
-            bsk.dimension,
-            bsk.base_log,
-            bsk.level,
-            Variance(bsk.variance),
-            BITS,
-        ).get_variance()
+        new_var = bsk.bootstrap_output_variance(self.dimension)
         new_encoder = encoder_output.copy()
         nb_overlap = new_encoder.update_precision_from_variance(new_var)
         if nb_overlap > 0:
@@ -524,10 +516,7 @@ class LWE:
             ct = self.remove_padding(self.encoder.nb_bit_padding - 1)
         outs = np.array(bsk.run_bootstrap_many(
             accumulator, jnp.asarray(ct.data), lcl))      # [2^lcl, ..., kN+1]
-        new_var = npe.estimate_pbs_noise(
-            self.dimension, bsk.polynomial_size, bsk.dimension,
-            bsk.base_log, bsk.level, Variance(bsk.variance), BITS,
-        ).get_variance()
+        new_var = bsk.bootstrap_output_variance(self.dimension)
         results = []
         for t in range(len(fns)):
             new_encoder = encoder_output.copy()

@@ -537,10 +537,7 @@ class VectorLWE:
         if enc0.nb_bit_padding > 1:
             data = (data << DTYPE(enc0.nb_bit_padding - 1)).astype(DTYPE)
         out_data = np.array(bsk.run_bootstrap(accumulator, jnp.asarray(data)))
-        new_var = npe.estimate_pbs_noise(
-            self.dimension, bsk.polynomial_size, bsk.dimension,
-            bsk.base_log, bsk.level, Variance(bsk.variance), BITS,
-        ).get_variance()
+        new_var = bsk.bootstrap_output_variance(self.dimension)
         encs = []
         for _ in range(self.nb_ciphertexts):
             e = encoder_output.copy()

@@ -298,3 +298,27 @@ def test_vector_rlwe_add_constant_families(sk_rlwe):
     out2 = a.add_constant_dynamic_encoder([1.0, 1.0])
     dec2 = out2.decrypt_decode(sk_rlwe)
     assert_eq_granularity(enc, dec2, [2.0, 3.0])
+
+
+def test_lwebsk_fast_mode_function_bootstrap(sk):
+    """u64 fast mode: LWEBSK.with_fast_mode drops low GGSW limbs / levels
+    over the same key material; the functional bootstrap stays correct and
+    the tracked variance includes the truncation term."""
+    from concrete_tpu.highlevel import LWEBSK, RLWESecretKey, RLWEParams
+
+    rlwe = RLWESecretKey.new(
+        RLWEParams(polynomial_size=256, dimension=1, log2_std_dev=-50),
+        secret_seed=90)
+    bsk = LWEBSK.new(sk, rlwe, base_log=8, level=3, mask_seed=91, noise_seed=92)
+    fast = bsk.with_fast_mode(limb_drop=2, levels=2)
+    assert fast.cfg.pbs_level == 2 and fast.cfg.mxu_limb_drop == 2
+    assert fast.coefficient_bsk.shape[1] == 2
+    # variance tracking: fast >= exact, both finite
+    v_exact = bsk.bootstrap_output_variance(sk.dimension)
+    v_fast = fast.bootstrap_output_variance(sk.dimension)
+    assert v_fast >= v_exact > 0
+    enc = Encoder.new(0.0, 8.0, 3, 1)
+    ct = LWE.encode_encrypt(sk, 5.0, enc, mask_seed=93, noise_seed=94)
+    out = ct.bootstrap_with_function(fast, lambda x: 7.0 - x, Encoder.new(0.0, 8.0, 3, 1))
+    got = out.decrypt_decode(rlwe.to_lwe_secret_key())  # big-key output
+    assert abs(got - 2.0) < 1.0, got
