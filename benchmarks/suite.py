@@ -202,9 +202,11 @@ def main():
             lambda r, k, c: bsx.bootstrap_keyswitch_mxu(cfg, r, k, lut, c),
             rings, ksk, cts)
         if pname == "tfhe_lib" and wanted("gate_bootstrap_fast"):
-            fcfg = cfg.with_fast_mode(limb_drop=1, levels=2)
+            # the SAFE fast mode: levels-only (limb_drop corrupts GGSW mask
+            # components, key-amplified ~(1+N/2) — see docs/performance.md)
+            fcfg = cfg.with_fast_mode(limb_drop=0, levels=2)
             frings = jnp.asarray(bsx.bsk_to_mxu(bsk_raw, fcfg))
-            run("gate_bootstrap_fast (l=2,drop=1)",
+            run("gate_bootstrap_fast (l=2)",
                 lambda r, k, c: bsx.bootstrap_keyswitch_mxu(fcfg, r, k, lut, c),
                 frings, ksk, cts)
 

@@ -100,8 +100,8 @@ class ServerKey:
             return self.bsk_mxu
         return self.bsk_ntt
 
-    def with_fast_mode(self, *, limb_drop: int = 1,
-                       levels: int | None = None) -> "ServerKey":
+    def with_fast_mode(self, *, limb_drop: int = 0,
+                       levels: int | None = 2) -> "ServerKey":
         """Reduced-precision evaluation twin over the same key material.
 
         ``levels`` keeps only the most-significant PBS decomposition levels
@@ -111,6 +111,15 @@ class ServerKey:
         npe.estimate_pbs_noise at the reduced level count plus
         npe.estimate_mxu_truncation_noise — see docs/performance.md for the
         measured-vs-predicted validation and gate-error budget.
+
+        The default (levels=2, limb_drop=0) keeps TFHE_LIB gates at a
+        chained-gate error probability of ~2^-24 — the grade of the
+        reference's own DEFAULT_PARAMETERS design point (2^-25). limb_drop
+        is NOT recommended for the u32 boolean torus: the dropped-limb
+        rounding corrupts GGSW mask components and is key-amplified by
+        ~(1 + N/2) at decryption (hardware-validated; docs/performance.md),
+        pushing N=1024 gates to ~2^-4 error. The u64 torus has the headroom
+        for it (LWEBSK.with_fast_mode).
         """
         cfg = self.cfg.with_fast_mode(limb_drop=limb_drop, levels=levels)
         return dataclasses.replace(

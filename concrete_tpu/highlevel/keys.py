@@ -127,11 +127,13 @@ class LWEBSK:
         """Reduced-precision evaluation twin over the same key material.
 
         The u64 torus has deep limb-drop headroom: dropping d of the 8 GGSW
-        byte limbs adds unbiased rounding noise of relative std
-        ~2^{10+8d-64} (2^-38 at d=2, 2^-22 at d=4) — tracked analytically by
-        npe.estimate_mxu_truncation_noise and folded into every bootstrap's
-        variance update. ``levels`` keeps only the most-significant PBS
-        decomposition levels. Ciphertexts and client keys are unchanged."""
+        byte limbs adds unbiased rounding noise whose phase-level relative
+        std (incl. the (1 + kN*E[s^2]) mask amplification, hardware-
+        validated) is ~2^-29 at d=2 and ~2^-21 at d=3 for N=1024 — tracked
+        analytically by npe.estimate_mxu_truncation_noise and folded into
+        every bootstrap's variance update. ``levels`` keeps only the
+        most-significant PBS decomposition levels. Ciphertexts and client
+        keys are unchanged."""
         cfg = self.cfg.with_fast_mode(limb_drop=limb_drop, levels=levels)
         return dataclasses.replace(
             self, cfg=cfg,

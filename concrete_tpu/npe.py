@@ -364,17 +364,23 @@ def estimate_mxu_truncation_noise(
     level: int,
     limb_drop: int,
     bits: int,
+    key: KeyDispersion = BINARY_KEY,
 ) -> Variance:
     """Extra PBS output noise from the reduced-precision MXU external product
     (ServerConfig.mxu_limb_drop).
 
     Dropping the ``limb_drop`` lowest *balanced* byte limbs rounds every GGSW
     coefficient to the nearest multiple of 2^{8d} — an unbiased error of
-    modular variance 2^{16d}/12 that enters each external product exactly
-    like bootstrap-key noise, i.e. through the r1 term of the PBS formula
-    (operators.rs:698: n*l*(k+1)*N*(B^2+2)/12 * Var). This is the analog of
-    the reference's f64-FFT rounding noise (transform.rs:732 comment), which
-    its NPE formulas likewise model as key-noise-shaped slack. Zero when
+    modular variance 2^{16d}/12 per coefficient, accumulated over the
+    n*l*(k+1)*N MAC terms with digit second moment (B^2+2)/12.
+
+    UNLIKE bootstrap-key encryption noise (which lives only in the GGSW
+    rows' body components and therefore enters the phase directly), this
+    rounding corrupts the raw table values of the MASK components too; at
+    decryption the mask errors convolve with the secret key, amplifying the
+    per-component variance by (1 + k*N*E[s^2]). Validated on hardware:
+    measured blind-rotate phase error tracks this model at N in {256, 1024}
+    (docs/performance.md "reduced-precision modes"). Zero when
     limb_drop == 0 (the exact default).
     """
     if limb_drop == 0:
@@ -385,7 +391,11 @@ def estimate_mxu_truncation_noise(
     l = float(level)
     big_n = float(poly_size)
     var_round = (2.0 ** (16 * limb_drop)) / 12.0
-    r = n * l * (k + 1.0) * big_n * (_sq(b) + 2.0) / 12.0 * var_round
+    per_component = n * l * (k + 1.0) * big_n * (_sq(b) + 2.0) / 12.0 * var_round
+    key_e2 = key.variance_key_coefficient(bits) + _sq(
+        key.expectation_key_coefficient()
+    )
+    r = per_component * (1.0 + k * big_n * key_e2)
     return Variance.from_modular_variance(r, bits)
 
 

@@ -21,7 +21,12 @@ def main():
         sys.exit(run([sys.executable, "-m", "pytest", "tests/", "-x", "-q",
                       "-k", "not fixtures and not slow and not fuzz"]))
     if cmd == "fixtures":
+        # conformance fixtures are a host-CPU suite (like concrete-core-test);
+        # the ambient environment may pin a remote accelerator platform, so
+        # override the config var before jax initializes (cf. tests/conftest)
         sys.exit(run([sys.executable, "-c",
+                      "import os; os.environ['JAX_PLATFORMS'] = 'cpu';"
+                      "import jax; jax.config.update('jax_platforms', 'cpu');"
                       "from concrete_tpu import fixtures;"
                       "rs = fixtures.run_all();"
                       "[print(r) for r in rs];"
