@@ -62,6 +62,25 @@ def main():
         if rate > best:
             best, best_batch = rate, batch
 
+    # the levels-only fast mode (same key material, chained-gate error
+    # ~2^-24 = the grade of the reference's DEFAULT design point; see
+    # docs/performance.md "Reduced-precision modes")
+    fast_rate = 0.0
+    try:
+        fcfg = cfg.with_fast_mode(limb_drop=0, levels=2)
+        fbsk = jnp.asarray(bsx.bsk_to_mxu(bsk_raw[:, : fcfg.pbs_level], fcfg))
+        ffn = jax.jit(lambda b, k, c: bsx.bootstrap_keyswitch_mxu(fcfg, b, k, lut, c))
+        lin = jnp.asarray(
+            rng.integers(0, 1 << 32, size=(best_batch, n + 1), dtype=np.uint32))
+        np.asarray(ffn(fbsk, ksk, lin)[0, :8])
+        t0 = time.perf_counter()
+        for _ in range(3):
+            np.asarray(ffn(fbsk, ksk, lin)[0, :8])
+        fast_rate = best_batch / ((time.perf_counter() - t0) / 3)
+        print(f"fast mode (l=2): {fast_rate:.1f} gates/s", file=sys.stderr)
+    except Exception as e:  # noqa: BLE001
+        print(f"fast mode failed: {e}", file=sys.stderr)
+
     baseline = 1000.0 / 18.0  # reference: 18.0 ms/gate single CPU core
     print(
         json.dumps(
@@ -70,6 +89,10 @@ def main():
                 "value": round(best, 2),
                 "unit": "gates/s",
                 "vs_baseline": round(best / baseline, 2),
+                "fast_mode_gates_per_s": round(fast_rate, 2),
+                "fast_mode_note": "levels=2 on the same keys; chained-gate"
+                " error ~2^-24 (reference DEFAULT grade); exact mode is the"
+                " headline value",
             }
         )
     )

@@ -205,7 +205,7 @@ def main():
             # the SAFE fast mode: levels-only (limb_drop corrupts GGSW mask
             # components, key-amplified ~(1+N/2) — see docs/performance.md)
             fcfg = cfg.with_fast_mode(limb_drop=0, levels=2)
-            frings = jnp.asarray(bsx.bsk_to_mxu(bsk_raw, fcfg))
+            frings = jnp.asarray(bsx.bsk_to_mxu(bsk_raw[:, :fcfg.pbs_level], fcfg))
             run("gate_bootstrap_fast (l=2)",
                 lambda r, k, c: bsx.bootstrap_keyswitch_mxu(fcfg, r, k, lut, c),
                 frings, ksk, cts)
