@@ -105,24 +105,27 @@ def main():
 
         def run_chained(op, step, init, unit=B, reps=32):
             """Small op: `step` maps the carry to a same-structure carry;
-            `reps` applications chained in one jit (no dispatch overhead)."""
+            `reps` applications chained in one jit (no dispatch overhead).
+            Elementwise ops get thousands of reps so the chain's device time
+            clears the host-RTT measurement floor."""
             if wanted(op):
                 record(op, pname, time_device(step, init, reps=reps), unit)
 
         # -- elementwise / linear LWE ops (chained: dispatch-free) -----------
-        run_chained("lwe_add", lambda c: c + c, cts)
-        run_chained("lwe_sub", lambda c: c - cts, cts)
-        run_chained("lwe_neg", lambda c: jnp.zeros_like(c) - c, cts)
-        run_chained("lwe_scalar_mul", lambda c: c * np.uint32(3), cts)
+        run_chained("lwe_add", lambda c: c + c, cts, reps=4096)
+        run_chained("lwe_sub", lambda c: c - cts, cts, reps=4096)
+        run_chained("lwe_neg", lambda c: jnp.zeros_like(c) - c, cts, reps=4096)
+        run_chained("lwe_scalar_mul", lambda c: c * np.uint32(3), cts, reps=4096)
         run_chained("lwe_plaintext_add",
-                    lambda c: lwe_ops.add_plaintext(c, np.uint32(12345)), cts)
+                    lambda c: lwe_ops.add_plaintext(c, np.uint32(12345)), cts,
+                    reps=4096)
         wts = (1, 3, 5, 7)
         cts4 = jnp.asarray(rng.integers(0, 1 << 32, size=(B, 4, n + 1), dtype=np.uint32))
 
         def aff_step(c4):
             out = lwe_ops.affine_transform(c4, wts, np.uint32(7))  # [B, n+1]
             return c4 + out[:, None, :]
-        run_chained("lwe_affine_transform", aff_step, cts4)
+        run_chained("lwe_affine_transform", aff_step, cts4, reps=256)
 
         def ks_step(bc):
             out = lwe_ops.keyswitch(ksk, bc, base_log=cfg.ks_base_log,
@@ -133,13 +136,13 @@ def main():
         def ms_step(c):
             out = bs.pbs_modulus_switch(c, N)
             return c + out.astype(c.dtype)
-        run_chained("modulus_switch", ms_step, cts)
+        run_chained("modulus_switch", ms_step, cts, reps=512)
 
         def se_step(g):
             out = bs.sample_extract(g)                          # [B, kN+1]
             # fold the whole output back in (sum defeats dead-code elim)
             return g + out.sum(axis=1, dtype=g.dtype)[:, None, None]
-        run_chained("sample_extract", se_step, glwe)
+        run_chained("sample_extract", se_step, glwe, reps=512)
 
         # -- NTT / external products / cmux ---------------------------------
         plan0 = cfg.plan(cfg.primes[0])
@@ -244,28 +247,42 @@ def main():
 
     # -- u64 torus regime (the highlevel crate's Torus) ----------------------
     if wanted("u64"):
+        # bl<=7 avoids the digit sub-split (R=6 not 12) — the recommended
+        # u64 regime (docs/performance.md "u64 torus")
         cfg64 = bs.ServerConfig(
             lwe_dimension=630, glwe_dimension=1, polynomial_size=1024,
-            pbs_base_log=10, pbs_level=3, ks_base_log=4, ks_level=7, bits=64)
+            pbs_base_log=7, pbs_level=3, ks_base_log=4, ks_level=7, bits=64)
         n64, N64 = cfg64.lwe_dimension, cfg64.polynomial_size
         bsk_raw64 = rng.integers(0, 1 << 64, size=(n64, 3, 2, 2, N64), dtype=np.uint64)
         rings64 = jnp.asarray(bsx.bsk_to_mxu(bsk_raw64, cfg64))
         lut64 = bs.trivial_lut_constant(cfg64, np.uint64(1) << np.uint64(60))
         cts64 = jnp.asarray(rng.integers(0, 1 << 64, size=(B, n64 + 1), dtype=np.uint64))
         if wanted("u64"):
-            record("pbs_mxu_u64", "n630_N1024_l3",
+            record("pbs_mxu_u64", "n630_N1024_l3_bl7",
                    _timeit(jax.jit(lambda r, c: bsx.bootstrap_mxu(cfg64, r, lut64, c)),
                            rings64, cts64), B)
+            import dataclasses as _dc
+
+            fcfg64 = _dc.replace(cfg64, mxu_limb_drop=2, primes=())
+            frings64 = jnp.asarray(bsx.bsk_to_mxu(bsk_raw64, fcfg64))
+            record("pbs_mxu_u64_fast (drop=2)", "n630_N1024_l3_bl7",
+                   _timeit(jax.jit(
+                       lambda r, c: bsx.bootstrap_mxu(fcfg64, r, lut64, c)),
+                       frings64, cts64), B)
         ksk64 = jnp.asarray(rng.integers(
             0, 1 << 64, size=(cfg64.big_lwe_dimension, cfg64.ks_level, n64 + 1),
             dtype=np.uint64))
         big64 = jnp.asarray(rng.integers(
             0, 1 << 64, size=(B, cfg64.big_lwe_dimension + 1), dtype=np.uint64))
 
+        # TPU has no 64-bit dot: the limb-plane path is the production
+        # u64 keyswitch (lwe.keyswitch_limbs, like LWEKSK.run_keyswitch)
+        ksk8 = jnp.asarray(lwe_ops.ksk_to_limbs(np.asarray(ksk64)))
+
         def ks64_step(bc):
-            out = lwe_ops.keyswitch(ksk64, bc, base_log=4, level_count=7)
+            out = lwe_ops.keyswitch_limbs(ksk8, bc, base_log=4, level_count=7)
             return bc + jnp.pad(out, ((0, 0), (0, bc.shape[1] - out.shape[1])))
-        record("keyswitch_u64", "n630_N1024_l7",
+        record("keyswitch_u64 (limb planes)", "n630_N1024_l7",
                time_device(ks64_step, big64, reps=16), B)
 
     # PBS sweep over polynomial sizes — the reference's engine-bench grid
