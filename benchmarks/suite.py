@@ -257,18 +257,17 @@ def main():
         rings64 = jnp.asarray(bsx.bsk_to_mxu(bsk_raw64, cfg64))
         lut64 = bs.trivial_lut_constant(cfg64, np.uint64(1) << np.uint64(60))
         cts64 = jnp.asarray(rng.integers(0, 1 << 64, size=(B, n64 + 1), dtype=np.uint64))
-        if wanted("u64"):
-            record("pbs_mxu_u64", "n630_N1024_l3_bl7",
-                   _timeit(jax.jit(lambda r, c: bsx.bootstrap_mxu(cfg64, r, lut64, c)),
-                           rings64, cts64), B)
-            import dataclasses as _dc
+        record("pbs_mxu_u64", "n630_N1024_l3_bl7",
+               _timeit(jax.jit(lambda r, c: bsx.bootstrap_mxu(cfg64, r, lut64, c)),
+                       rings64, cts64), B)
+        import dataclasses as _dc
 
-            fcfg64 = _dc.replace(cfg64, mxu_limb_drop=2, primes=())
-            frings64 = jnp.asarray(bsx.bsk_to_mxu(bsk_raw64, fcfg64))
-            record("pbs_mxu_u64_fast (drop=2)", "n630_N1024_l3_bl7",
-                   _timeit(jax.jit(
-                       lambda r, c: bsx.bootstrap_mxu(fcfg64, r, lut64, c)),
-                       frings64, cts64), B)
+        fcfg64 = _dc.replace(cfg64, mxu_limb_drop=2, primes=())
+        frings64 = jnp.asarray(bsx.bsk_to_mxu(bsk_raw64, fcfg64))
+        record("pbs_mxu_u64_fast (drop=2)", "n630_N1024_l3_bl7",
+               _timeit(jax.jit(
+                   lambda r, c: bsx.bootstrap_mxu(fcfg64, r, lut64, c)),
+                   frings64, cts64), B)
         ksk64 = jnp.asarray(rng.integers(
             0, 1 << 64, size=(cfg64.big_lwe_dimension, cfg64.ks_level, n64 + 1),
             dtype=np.uint64))

@@ -387,11 +387,20 @@ def estimate_mxu_truncation_noise(
         return Variance.from_modular_variance(0.0, bits)
     n = float(lwe_dimension)
     k = float(glwe_dimension)
-    b = float(1 << base_log)
     l = float(level)
     big_n = float(poly_size)
     var_round = (2.0 ** (16 * limb_drop)) / 12.0
-    per_component = n * l * (k + 1.0) * big_n * (_sq(b) + 2.0) / 12.0 * var_round
+    # digit second moment PER MXU ROW: for base_log > 7 the path splits each
+    # gadget digit into n_sub balanced 7-bit sub-chunks (|e| <= 64, rings
+    # pre-scaled by 2^{7j} before limb packing — bootstrap_mxu.MxuPlan), so
+    # each of the l*(k+1)*n_sub*N rows carries a 2^7-bounded digit, not a
+    # 2^base_log one. Slightly conservative for the narrower last chunk.
+    if base_log <= 7:
+        n_sub, digit_m2 = 1.0, (_sq(float(1 << base_log)) + 2.0) / 12.0
+    else:
+        n_sub = float((base_log - 8) // 7 + 2)
+        digit_m2 = (_sq(128.0) + 2.0) / 12.0
+    per_component = n * l * (k + 1.0) * n_sub * big_n * digit_m2 * var_round
     key_e2 = key.variance_key_coefficient(bits) + _sq(
         key.expectation_key_coefficient()
     )

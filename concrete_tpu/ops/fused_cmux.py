@@ -98,9 +98,8 @@ def make_fused_cmux(r_blocks: int, ks1: int, N: int, batch: int,
     # table-build blocks per step so T[kj+1] finishes during group kj
     blocks_per_step = -(-r_blocks // n_bt)  # ceil
 
-    def kernel(acc_ref, d8_ref, e_ref, o_ref, t_ref, *, interpret=False):
+    def kernel(acc_ref, d8_ref, e_ref, o_ref, t_ref):
         s = pl.program_id(0)
-        n_steps = ks1 * n_bt
         kj = s // n_bt
         bt = s % n_bt
 
@@ -124,10 +123,9 @@ def make_fused_cmux(r_blocks: int, ks1: int, N: int, batch: int,
                             n_words, kept, tile_rows)
 
         # dot + recombine + accumulate for (kj, bt)
-        dst = kj % 2
         for cur in range(ks1):
             @pl.when(kj == cur)
-            def _(cur=cur, dst=dst):
+            def _(cur=cur):
                 sdot = jax.lax.dot_general(
                     d8_ref[...], t_ref[cur % 2],
                     (((1,), (0,)), ((), ())),
@@ -140,11 +138,9 @@ def make_fused_cmux(r_blocks: int, ks1: int, N: int, batch: int,
                                  << jnp.int32(8 * (limb_drop + j)))
                 o_ref[0] = acc_ref[0] + pltpu.bitcast(acc, jnp.uint32)
 
-        del n_steps, dst
-
     grid = (ks1 * n_bt,)
     fn = pl.pallas_call(
-        functools.partial(kernel, interpret=interpret),
+        kernel,
         grid=grid,
         in_specs=[
             pl.BlockSpec((1, tile_b, N),

@@ -14,10 +14,9 @@ import pytest
 
 import concrete_tpu
 
-# entry points / pure re-export surfaces with no API of their own
-EXEMPT_SUFFIXES = ("__main__",)
+# entry points with no API of their own
 EXEMPT = {
-    "concrete_tpu",             # package root: re-exports
+    "concrete_tpu.csprng.__main__",   # stream-to-stdout CLI
 }
 
 
@@ -26,10 +25,8 @@ def _iter_modules():
     for info in pkgutil.walk_packages(
         concrete_tpu.__path__, prefix="concrete_tpu."
     ):
-        name = info.name
-        if name.endswith(EXEMPT_SUFFIXES):
-            continue
-        mods.append(name)
+        if info.name not in EXEMPT:
+            mods.append(info.name)
     return sorted(mods)
 
 
@@ -46,9 +43,7 @@ def test_doctests(name):
     mod = importlib.import_module(name)
     results = doctest.testmod(mod, verbose=False)
     assert results.failed == 0, f"{name}: {results.failed} doctest failures"
-    if name not in EXEMPT and not name.endswith("__init__"):
-        # packages' __init__ are exercised via their submodules; plain modules
-        # must each carry at least one example
-        is_pkg = hasattr(mod, "__path__")
-        if not is_pkg:
-            assert results.attempted > 0, f"{name}: no doctests collected"
+    # packages are exercised via their submodules; every plain module must
+    # carry at least one example
+    if not hasattr(mod, "__path__"):
+        assert results.attempted > 0, f"{name}: no doctests collected"
