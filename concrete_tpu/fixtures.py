@@ -996,6 +996,65 @@ class GlweArithFixture(Fixture):
                              slack_bits=0.5)
 
 
+class MxuTruncationNoiseFixture(Fixture):
+    """Reduced-precision (limb-drop) blind-rotate noise matches the key-
+    amplified truncation model — the phase error of the drop-d path vs the
+    exact path must sit within the estimate_mxu_truncation_noise bound
+    (which includes the (1 + kN*E[s^2]) mask-convolution amplification;
+    without it the bound is ~ sqrt(1+kN/2) too small and this fixture
+    fails)."""
+
+    name = "mxu_truncation_noise"
+    # N >= 256: the (1 + kN*E[s^2]) amplification model is hardware-validated
+    # at N in {256, 1024}; below that, small-N correlation effects add up to
+    # ~1.6x in std (not worth modeling — no production parameter set uses
+    # N < 256 with limb drops)
+    PARAMETERS = [
+        {"n": 16, "k": 1, "N": 256, "base_log": 7, "levels": 2, "drop": 1},
+        {"n": 12, "k": 1, "N": 256, "base_log": 7, "levels": 2, "drop": 2},
+    ]
+    SAMPLE_SIZE = 32
+
+    def run_one(self, params, rep_seed):
+        import dataclasses as dc
+
+        from .core import bootstrap_mxu as bsx
+        from .core.ggsw import StandardBootstrapKey
+
+        n, k, N = params["n"], params["k"], params["N"]
+        bl, lv, drop = params["base_log"], params["levels"], params["drop"]
+        cfg = bs.ServerConfig(
+            lwe_dimension=n, glwe_dimension=k, polynomial_size=N,
+            pbs_base_log=bl, pbs_level=lv, ks_base_log=4, ks_level=3)
+        sgen = SecretRandomGenerator(rep_seed)
+        lsk = lwe_mod.LweSecretKey.generate_binary(n, sgen)
+        gsk = glwe_mod.GlweSecretKey.generate_binary(k, N, sgen)
+        gen = EncryptionRandomGenerator(rep_seed + 1, rep_seed + 2)
+        bsk = StandardBootstrapKey.generate(lsk, gsk, bl, lv, 2.0 ** -25, gen)
+        rng = np.random.default_rng(rep_seed)
+        cts = jnp.asarray(rng.integers(
+            0, 1 << 32, size=(self.SAMPLE_SIZE, n + 1), dtype=np.uint32))
+        lut = bs.trivial_lut_constant(cfg, np.uint32(1 << 29))
+        rings = jnp.asarray(bsx.bsk_to_mxu(bsk.data, cfg))
+        exact = np.asarray(bsx.blind_rotate_mxu(cfg, rings, lut, cts))
+        fcfg = dc.replace(cfg, mxu_limb_drop=drop, primes=())
+        fast = np.asarray(bsx.blind_rotate_mxu(fcfg, rings, lut, cts))
+        with np.errstate(over="ignore"):
+            diff = (gsk.decrypt(fast) - gsk.decrypt(exact)).astype(
+                np.int32).astype(np.float64)
+        predicted = npe.estimate_mxu_truncation_noise(n, N, k, bl, lv, drop, 32)
+        # spread check (same contract as assert_noise_bounded's sigma clause)
+        measured = float(np.sqrt((diff ** 2).mean())) / 2.0 ** 32
+        bound = predicted.get_standard_dev() * 2.0 ** 0.5
+        assert measured <= bound, (
+            f"truncation noise {measured:.3e} exceeds model bound {bound:.3e}")
+        # and the model must not be wildly conservative either (the point of
+        # the fixture is to pin the amplification factor)
+        assert measured >= predicted.get_standard_dev() * 0.3, (
+            f"truncation noise {measured:.3e} far below model "
+            f"{predicted.get_standard_dev():.3e} — model regression?")
+
+
 ALL_FIXTURES = [
     LweEncryptDecryptFixture,
     GlweEncryptDecryptFixture,
@@ -1025,6 +1084,7 @@ ALL_FIXTURES = [
     MultiLutPbsFixture,
     U64KeyswitchFixture,
     GlweArithFixture,
+    MxuTruncationNoiseFixture,
 ]
 
 
