@@ -25,6 +25,25 @@ Example (AND gate on tiny insecure parameters):
     ...               cks.encrypt([True, False], mask_seed=6, noise_seed=7))
     >>> [bool(x) for x in cks.decrypt(np.asarray(ct))]
     [True, False]
+
+Every gate of the reference API (server_key/mod.rs:133-646):
+    >>> a = cks.encrypt([True, True, False, False], mask_seed=8, noise_seed=9)
+    >>> b = cks.encrypt([True, False, True, False], mask_seed=10, noise_seed=11)
+    >>> dec = lambda c: [bool(x) for x in cks.decrypt(np.asarray(c))]
+    >>> dec(sks.or_(a, b))
+    [True, True, True, False]
+    >>> dec(sks.xor(a, b))
+    [False, True, True, False]
+    >>> dec(sks.nand(a, b))
+    [False, True, True, True]
+    >>> dec(sks.nor(a, b))
+    [False, False, False, True]
+    >>> dec(sks.xnor(a, b))
+    [True, False, False, True]
+    >>> dec(sks.not_(a))                    # negation only — no bootstrap
+    [False, False, True, True]
+    >>> dec(sks.mux(a, b, cks.encrypt([False] * 4, mask_seed=12, noise_seed=13)))
+    [True, False, False, False]
 """
 
 from __future__ import annotations

@@ -24,6 +24,28 @@ Example (modulus switch to the 2N grid):
     >>> from concrete_tpu.core.bootstrap import pbs_modulus_switch
     >>> int(pbs_modulus_switch(np.uint32(1 << 31), 8))   # 0.5 of the torus -> 8 of 16
     8
+
+A complete tiny PBS on the exact-NTT backend (sign bootstrap to +-1/8):
+    >>> import numpy as np
+    >>> from concrete_tpu.core import bootstrap as bs, glwe, lwe
+    >>> from concrete_tpu.core.ggsw import StandardBootstrapKey, bsk_to_ntt
+    >>> from concrete_tpu.csprng import EncryptionRandomGenerator, SecretRandomGenerator
+    >>> cfg = bs.ServerConfig(lwe_dimension=8, glwe_dimension=1,
+    ...     polynomial_size=64, pbs_base_log=7, pbs_level=2,
+    ...     ks_base_log=4, ks_level=3)
+    >>> sgen = SecretRandomGenerator(1)
+    >>> lsk = lwe.LweSecretKey.generate_binary(8, sgen)
+    >>> gsk = glwe.GlweSecretKey.generate_binary(1, 64, sgen)
+    >>> gen = EncryptionRandomGenerator(2, 3)
+    >>> bsk = StandardBootstrapKey.generate(lsk, gsk, 7, 2, 0.0, gen)
+    >>> eighth = np.uint32(1 << 29)
+    >>> ct = lsk.encrypt(eighth, 0.0, gen)             # encrypt +1/8
+    >>> lut = bs.trivial_lut_constant(cfg, eighth)
+    >>> out = bs.bootstrap(cfg, bsk_to_ntt(bsk.data, cfg.primes, 32), lut,
+    ...                    np.asarray(ct))
+    >>> phase = int(gsk.into_lwe_key().decrypt(np.asarray(out)[None])[0])
+    >>> abs(phase - (1 << 29)) < (1 << 20)             # lands on +1/8
+    True
 """
 
 from __future__ import annotations

@@ -11,6 +11,31 @@ Example (trivial encryption is exact):
     >>> ct = lwe.trivial_encrypt(np.uint32(12345), 8)
     >>> int(lwe.trivial_decrypt(np.asarray(ct)))
     12345
+
+Arithmetic engine analogs (wrapping mod 2^32):
+    >>> c2 = lwe.trivial_encrypt(np.uint32(1000), 8)
+    >>> int(lwe.trivial_decrypt(np.asarray(lwe.add(ct, c2))))
+    13345
+    >>> int(lwe.trivial_decrypt(np.asarray(lwe.sub(ct, c2))))
+    11345
+    >>> int(lwe.trivial_decrypt(np.asarray(lwe.neg(c2))))
+    4294966296
+    >>> int(lwe.trivial_decrypt(np.asarray(lwe.scalar_mul(c2, np.uint32(3)))))
+    3000
+    >>> int(lwe.trivial_decrypt(np.asarray(lwe.add_plaintext(c2, np.uint32(5)))))
+    1005
+
+Real encryption round trip with keyswitching:
+    >>> from concrete_tpu.csprng import EncryptionRandomGenerator, SecretRandomGenerator
+    >>> sgen = SecretRandomGenerator(1)
+    >>> k_in = lwe.LweSecretKey.generate_binary(16, sgen)
+    >>> k_out = lwe.LweSecretKey.generate_binary(12, sgen)
+    >>> gen = EncryptionRandomGenerator(2, 3)
+    >>> ksk = lwe.LweKeyswitchKey.generate(k_in, k_out, 8, 3, 0.0, gen)
+    >>> c = k_in.encrypt(np.uint32(1 << 28), 0.0, gen)
+    >>> out = lwe.keyswitch(np.asarray(ksk.data), np.asarray(c), base_log=8, level_count=3)
+    >>> abs(int(k_out.decrypt(np.asarray(out)[None])[0]) - (1 << 28)) < (1 << 10)
+    True
 """
 
 from __future__ import annotations

@@ -16,6 +16,14 @@ Example (multiply by X: negacyclic wrap negates):
     >>> poly = np.arange(4, dtype=np.uint32)
     >>> np.asarray(negacyclic_monomial_mul(poly, np.uint32(1))).tolist()
     [4294967293, 0, 1, 2]
+
+Division is the inverse rotation, and degree N negates (X^N == -1):
+    >>> from concrete_tpu.math.polynomial import negacyclic_monomial_div
+    >>> rot = negacyclic_monomial_mul(poly, np.uint32(1))
+    >>> np.asarray(negacyclic_monomial_div(rot, np.uint32(1))).tolist()
+    [0, 1, 2, 3]
+    >>> np.asarray(negacyclic_monomial_mul(poly, np.uint32(4))).tolist()
+    [0, 4294967295, 4294967294, 4294967293]
 """
 
 from __future__ import annotations
