@@ -364,7 +364,11 @@ def recombine_limb_planes(plan: MxuPlan, s):
     reduction IS the two's-complement wrap. Shared by the single-device dot
     and the tp-sharded pipeline (partial sums psum'd before recombining).
     With limb_drop > 0 only the kept high limbs are present; their global
-    shifts start at 8*limb_drop (reduced-precision mode)."""
+    shifts start at 8*limb_drop (reduced-precision mode).
+
+    (A u64 variant assembling (lo32, hi32) word pairs with an exact f64
+    carry was measured SLOWER on v5e — f64 lanes are emulated there just
+    like i64 — so the straightforward i64 form stays.)"""
     N, ks1, lu = plan.polynomial_size, plan.glwe_size, plan.limbs_used
     acc_t = jnp.int32 if plan.bits == 32 else jnp.int64
     out_t = jnp.uint32 if plan.bits == 32 else jnp.uint64
@@ -381,6 +385,8 @@ def recombine_limb_planes(plan: MxuPlan, s):
         outs.append(o)
     out = jnp.stack(outs, axis=0)                           # [k+1, B, N]
     return jax.lax.bitcast_convert_type(out, out_t)
+
+
 
 
 def _toeplitz_matmul(plan: MxuPlan, d8, rhs):

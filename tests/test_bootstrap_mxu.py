@@ -321,3 +321,4 @@ def test_external_product_mxu_limb_drop_u64():
     want = np.asarray(
         bsx.external_product_mxu(cfg, jnp.asarray(masked), glwe))
     np.testing.assert_array_equal(got, want)
+
