@@ -3,7 +3,7 @@
 Trustworthy timing (host round trip forced; see timing.py).
 
 Usage: python benchmarks/gate_bench.py [ntt|mxu|both] [param] [batches]
-  param: tfhe_lib (default) | default
+  param: tfhe_lib (default) | default | tpu128
 """
 
 import os
@@ -26,9 +26,14 @@ def main():
 
     from concrete_tpu.core import bootstrap as bs
     from concrete_tpu.core import bootstrap_mxu as bsx
-    from concrete_tpu.params import DEFAULT_PARAMETERS, TFHE_LIB_PARAMETERS
+    from concrete_tpu.params import (
+        DEFAULT_PARAMETERS,
+        TFHE_LIB_PARAMETERS,
+        TPU128_PARAMETERS,
+    )
 
-    params = {"tfhe_lib": TFHE_LIB_PARAMETERS, "default": DEFAULT_PARAMETERS}[pname]
+    params = {"tfhe_lib": TFHE_LIB_PARAMETERS, "default": DEFAULT_PARAMETERS,
+              "tpu128": TPU128_PARAMETERS}[pname]
     cfg = bs.ServerConfig.from_boolean_parameters(params)
     rng = np.random.default_rng(0)
     n, l, ks1, N = cfg.lwe_dimension, cfg.pbs_level, cfg.glwe_size, cfg.polynomial_size
@@ -37,7 +42,9 @@ def main():
     ksk = jnp.asarray(rng.integers(
         0, 1 << 32, size=(cfg.big_lwe_dimension, cfg.ks_level, n + 1), dtype=np.uint32))
     lut = bs.trivial_lut_constant(cfg, np.uint32(1 << 29))
-    baseline = 1000.0 / (18.0 if pname == "tfhe_lib" else 11.3)
+    # reference CPU ms/gate: 11.3 at DEFAULT, 18.0 at TFHE_LIB (error.md:22-23);
+    # tpu128 compares against the TFHE_LIB number (same kN=1024 security class)
+    baseline = 1000.0 / (11.3 if pname == "default" else 18.0)
 
     def run(name, fn, keys):
         for batch in batches:

@@ -226,64 +226,58 @@ class ServerKey:
         )
 
     # -- gates -------------------------------------------------------------
-
-    def _pipeline(self):
-        return _gate_pipeline(self.cfg, self.resolved_backend())
+    #
+    # The whole gate — linear combination, PBS, keyswitch — runs inside ONE
+    # jitted pipeline per (gate, config, backend). Building the linear
+    # combination eagerly costs several host dispatches per call; on a
+    # remote-tunneled TPU that measured ~190 ms of overhead per gate call at
+    # batch 2048 (~2x the entire bootstrap) — see docs/performance.md.
 
     @staticmethod
-    def _padded_call(fn, lin):
-        """Call `fn` with the batch flattened and padded to the next power of
-        two: gate calls then hit at most log2(B) distinct compiled shapes
+    def _padded_call(fn, *cts):
+        """Call `fn` with the batches flattened and padded to the next power
+        of two: gate calls then hit at most log2(B) distinct compiled shapes
         instead of one per batch size (first compile is ~30-60 s). Zero rows
         bootstrap harmlessly and are sliced off."""
-        lead = lin.shape[:-1]
-        flat = lin.reshape((-1, lin.shape[-1]))
-        b = flat.shape[0]
+        cts = jnp.broadcast_arrays(*[jnp.asarray(c) for c in cts])
+        lead = cts[0].shape[:-1]
+        flats = [c.reshape((-1, c.shape[-1])) for c in cts]
+        b = flats[0].shape[0]
         if b == 0:
-            return jnp.zeros(lead + lin.shape[-1:], lin.dtype)[..., : lin.shape[-1]]
+            return jnp.zeros(lead + cts[0].shape[-1:], cts[0].dtype)
         padded = 1 << (b - 1).bit_length() if b > 1 else 1
         if padded != b:
-            flat = jnp.concatenate(
-                [flat, jnp.zeros((padded - b,) + flat.shape[1:], flat.dtype)],
-                axis=0,
-            )
-        out = fn(flat)
+            flats = [
+                jnp.concatenate(
+                    [f, jnp.zeros((padded - b,) + f.shape[1:], f.dtype)], axis=0)
+                for f in flats
+            ]
+        out = fn(*flats)
         return out[:b].reshape(lead + out.shape[-1:])
 
-    def _run_gate(self, lin):
-        pipe = self._pipeline()
+    def _run_gate(self, gate: str, ct_left, ct_right):
+        pipe = _gate_pipeline(self.cfg, self.resolved_backend(), gate)
         return self._padded_call(
-            lambda flat: pipe(self._bootstrap_keys(), self.ksk, flat), lin)
+            lambda a, b: pipe(self._bootstrap_keys(), self.ksk, a, b),
+            ct_left, ct_right)
 
     def and_(self, ct_left, ct_right):
-        lin = jnp.asarray(ct_left) + jnp.asarray(ct_right)
-        lin = lin.at[..., -1].add(_NEG_EIGHTH)
-        return self._run_gate(lin)
+        return self._run_gate("and", ct_left, ct_right)
 
     def nand(self, ct_left, ct_right):
-        lin = jnp.zeros_like(jnp.asarray(ct_left)) - ct_left - ct_right
-        lin = lin.at[..., -1].add(_EIGHTH)
-        return self._run_gate(lin)
+        return self._run_gate("nand", ct_left, ct_right)
 
     def or_(self, ct_left, ct_right):
-        lin = jnp.asarray(ct_left) + jnp.asarray(ct_right)
-        lin = lin.at[..., -1].add(_EIGHTH)
-        return self._run_gate(lin)
+        return self._run_gate("or", ct_left, ct_right)
 
     def nor(self, ct_left, ct_right):
-        lin = jnp.zeros_like(jnp.asarray(ct_left)) - ct_left - ct_right
-        lin = lin.at[..., -1].add(_NEG_EIGHTH)
-        return self._run_gate(lin)
+        return self._run_gate("nor", ct_left, ct_right)
 
     def xor(self, ct_left, ct_right):
-        lin = (jnp.asarray(ct_left) + jnp.asarray(ct_right)) * np.uint32(2)
-        lin = lin.at[..., -1].add(_QUARTER)
-        return self._run_gate(lin)
+        return self._run_gate("xor", ct_left, ct_right)
 
     def xnor(self, ct_left, ct_right):
-        lin = (jnp.zeros_like(jnp.asarray(ct_left)) - ct_left - ct_right) * np.uint32(2)
-        lin = lin.at[..., -1].add(_NEG_QUARTER)
-        return self._run_gate(lin)
+        return self._run_gate("xnor", ct_left, ct_right)
 
     def not_(self, ct):
         """Free negation, no bootstrap (server_key/mod.rs:422-429)."""
@@ -317,13 +311,28 @@ class ServerKey:
         return out[:b].reshape(lead + out.shape[-1:])
 
 
-@functools.lru_cache(maxsize=None)
-def _gate_pipeline(cfg: bs.ServerConfig, backend: str):
-    """jit(PBS with constant 1/8 accumulator + keyswitch)."""
-    bks = bsx.bootstrap_keyswitch_mxu if backend == "mxu" else bs.bootstrap_keyswitch
+# linear combination per gate (server_key/mod.rs:133-614): lin(a, b), offset
+_GATE_LIN = {
+    "and": (lambda a, b: a + b, _NEG_EIGHTH),
+    "nand": (lambda a, b: jnp.zeros_like(a) - a - b, _EIGHTH),
+    "or": (lambda a, b: a + b, _EIGHTH),
+    "nor": (lambda a, b: jnp.zeros_like(a) - a - b, _NEG_EIGHTH),
+    "xor": (lambda a, b: (a + b) * np.uint32(2), _QUARTER),
+    "xnor": (lambda a, b: (jnp.zeros_like(a) - a - b) * np.uint32(2),
+             _NEG_QUARTER),
+}
 
-    def run(bsk, ksk, lin):
+
+@functools.lru_cache(maxsize=None)
+def _gate_pipeline(cfg: bs.ServerConfig, backend: str, gate: str):
+    """jit(linear combination + PBS with constant 1/8 accumulator +
+    keyswitch) — the full gate in one dispatch."""
+    bks = bsx.bootstrap_keyswitch_mxu if backend == "mxu" else bs.bootstrap_keyswitch
+    lin_fn, offset = _GATE_LIN[gate]
+
+    def run(bsk, ksk, a, b):
         lut = bs.trivial_lut_constant(cfg, PLAINTEXT_TRUE)
+        lin = lin_fn(a, b).at[..., -1].add(offset)
         return bks(cfg, bsk, ksk, lut, lin)
 
     return jax.jit(run)

@@ -31,9 +31,16 @@ from .. import npe
 from ..csprng import EncryptionRandomGenerator
 from ..dispersion import Variance
 from . import errors
-from .encoder import BITS, DTYPE, Encoder
+from .encoder import (
+    BITS,
+    DTYPE,
+    Encoder,
+    EncoderFields,
+    encode_bulk,
+    opposite_correction_bulk,
+    update_precision_bulk,
+)
 from .keys import RLWESecretKey
-from .lwe import _opposite_correction
 from .plaintext import Plaintext
 from .vector_lwe import VectorLWE, _deltas_close
 
@@ -366,16 +373,14 @@ class VectorRLWE:
             raise errors.DimensionError(msgs.size, self.nb_valid())
         out = self.copy()
         n = self.polynomial_size
-        j = 0
-        for idx, enc in enumerate(self.encoders):
-            if not enc.is_valid():
-                continue
-            i, c = divmod(idx, n)
-            corr = from_torus_f64(np.float64(msgs[j] / enc.delta), BITS)
-            if enc.nb_bit_padding > 0:
-                corr = corr >> DTYPE(enc.nb_bit_padding)
-            out.data[i, -1, c] += corr
-            j += 1
+        # vectorized over all m*N coefficient slots (struct-of-arrays gather)
+        f = EncoderFields.gather(self.encoders)
+        m_full = np.zeros(len(self.encoders), np.float64)
+        m_full[f.valid] = msgs
+        ratio = m_full / np.where(f.valid, f.delta, 1.0)
+        corr = from_torus_f64(ratio, BITS) >> f.padding.astype(DTYPE)
+        with np.errstate(over="ignore"):
+            out.data[:, -1, :] += np.where(f.valid, corr, DTYPE(0)).reshape(-1, n)
         return out
 
     def add_constant_dynamic_encoder(self, messages) -> "VectorRLWE":
@@ -393,29 +398,27 @@ class VectorRLWE:
 
     def mul_constant_static_encoder(self, messages) -> "VectorRLWE":
         """Multiply each ciphertext by a small integer (vector_rlwe:1223):
-        one constant per CIPHERTEXT."""
+        one constant per CIPHERTEXT. All coefficient arithmetic (encoded-zero
+        corrections, NPE variance updates, precision shrink) rides [m, N]
+        arrays — no per-coefficient Python loop."""
         c = np.broadcast_to(
             np.asarray(messages, dtype=np.int64), (self.nb_ciphertexts,)
         )
         out = self.copy()
         n = self.polynomial_size
-        for i in range(self.nb_ciphertexts):
-            # pre-mul: subtract encoded zero on valid body coefficients
-            for cc in range(n):
-                enc = self._enc(i, cc)
-                if enc.is_valid():
-                    out.data[i, -1, cc] -= enc.encode_outside_interval(np.float64(0.0))
-            out.data[i] = (out.data[i] * DTYPE(int(c[i]) % (1 << BITS))).astype(DTYPE)
-            for cc in range(n):
-                idx = i * n + cc
-                enc = out.encoders[idx]
-                v = npe.estimate_integer_plaintext_multiplication_noise(
-                    Variance(float(self.variances[idx])), int(abs(c[i]))
-                ).get_variance()
-                out.variances[idx] = v
-                if enc.is_valid():
-                    out.data[i, -1, cc] += enc.encode_outside_interval(np.float64(0.0))
-                    enc.update_precision_from_variance(v)
+        f = EncoderFields.gather(out.encoders)
+        zero = encode_bulk(f, 0.0).reshape(-1, n)      # 0 at invalid slots
+        cmod = c.astype(DTYPE)  # two's-complement wrap == mod 2^64
+        with np.errstate(over="ignore"):
+            out.data[:, -1, :] -= zero
+            out.data *= cmod[:, None, None]
+            out.data[:, -1, :] += zero
+        # Var(n * ct) = n^2 * Var (operators.rs:75), broadcast per ciphertext
+        out.variances = (
+            self.variances.reshape(-1, n)
+            * np.abs(c.astype(np.float64))[:, None] ** 2
+        ).ravel()
+        update_precision_bulk(out.encoders, out.variances)
         return out
 
     def mul_constant_with_padding(
@@ -437,57 +440,84 @@ class VectorRLWE:
                     raise errors.NotEnoughPaddingError(enc.nb_bit_padding, nb_bit_padding)
         out = self.copy()
         n = self.polynomial_size
-        for i in range(self.nb_ciphertexts):
-            negative = c[i] < 0.0
-            c_abs = abs(float(c[i]))
-            scal = int(round(c_abs / max_constant * 2.0 ** nb_bit_padding))
-            for cc in range(n):
-                enc = self._enc(i, cc)
-                if enc.is_valid():
-                    out.data[i, -1, cc] -= enc.encode_core(np.float64(0.0))
-            out.data[i] = (out.data[i] * DTYPE(scal % (1 << BITS))).astype(DTYPE)
-            discret_c_abs = float(scal) * 2.0 ** (-nb_bit_padding) * max_constant
-            rounding_error = abs(discret_c_abs - c_abs)
-            for cc in range(n):
-                idx = i * n + cc
-                enc = out.encoders[idx]
-                v = npe.estimate_integer_plaintext_multiplication_noise(
-                    Variance(float(self.variances[idx])), scal
-                ).get_variance()
-                out.variances[idx] = v
-                if not enc.is_valid():
-                    continue
-                new_o = enc.o * max_constant
-                new_max = (enc.o + enc.delta - enc.get_granularity()) * max_constant
-                new_delta = new_max - new_o
-                granularity = enc.get_granularity()
-                mx = max(abs(enc.o + enc.delta - granularity), abs(enc.o))
-                new_granularity = 2.0 * abs(
-                    granularity * rounding_error / 2.0
-                    + granularity / 2.0 * discret_c_abs
-                    + rounding_error * mx
-                )
-                new_precision = min(
-                    int(np.floor(np.log2(new_delta / max(new_granularity, 1e-300)))),
-                    enc.nb_bit_precision,
-                )
-                new_enc = Encoder(
-                    o=new_o,
-                    delta=new_delta,
-                    nb_bit_precision=max(new_precision, 1),
-                    nb_bit_padding=enc.nb_bit_padding - nb_bit_padding,
-                    round=enc.round,
-                )
-                out.data[i, -1, cc] += new_enc.encode_core(np.float64(0.0))
-                new_enc.update_precision_from_variance(v)
-                out.encoders[idx] = new_enc
-            if negative:
-                out.data[i] = (np.zeros_like(out.data[i]) - out.data[i]).astype(DTYPE)
-                for cc in range(n):
-                    enc = out.encoders[i * n + cc]
-                    if enc.is_valid():
-                        out.data[i, -1, cc] += _opposite_correction(enc)
-                        out.encoders[i * n + cc] = enc.opposite()
+        # ---- vectorized over all m*N coefficient slots ----
+        negative = c < 0.0
+        c_abs = np.abs(c)
+        scal = np.round(c_abs / max_constant * 2.0 ** nb_bit_padding
+                        ).astype(np.int64)
+        discret_c_abs = scal.astype(np.float64) * 2.0 ** (-nb_bit_padding) * max_constant
+        rounding_error = np.abs(discret_c_abs - c_abs)
+
+        f = EncoderFields.gather(out.encoders)
+        # pre-mul: subtract encoded zero (encode_core(0.0); the
+        # zero-in-interval pre-check above guarantees 0 >= o, and 0 == o+delta
+        # only at the degenerate upper edge the scalar path also rejects)
+        if np.any(f.valid & (f.o + f.delta == 0.0)):
+            bad = np.nonzero(f.valid & (f.o + f.delta == 0.0))[0][0]
+            raise errors.MessageOutsideIntervalError(
+                0.0, float(f.o[bad]), float(f.delta[bad]))
+        zero = encode_bulk(f, 0.0).reshape(-1, n)
+        with np.errstate(over="ignore"):
+            out.data[:, -1, :] -= zero
+            out.data *= scal.astype(DTYPE)[:, None, None]
+
+        # per-slot broadcast of the per-ciphertext constants
+        re_s = np.repeat(rounding_error, n)
+        dc_s = np.repeat(discret_c_abs, n)
+        gran = f.granularity()
+        new_o = f.o * max_constant
+        new_max = (f.o + f.delta - gran) * max_constant
+        new_delta = new_max - new_o
+        mx = np.maximum(np.abs(f.o + f.delta - gran), np.abs(f.o))
+        new_gran = 2.0 * np.abs(
+            gran * re_s / 2.0 + gran / 2.0 * dc_s + re_s * mx)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            new_prec = np.minimum(
+                np.floor(np.log2(np.where(
+                    f.valid, new_delta, 1.0) / np.maximum(new_gran, 1e-300))),
+                f.precision.astype(np.float64))
+        new_prec = np.maximum(np.nan_to_num(new_prec, nan=1.0,
+                                            posinf=1.0, neginf=1.0), 1.0
+                              ).astype(np.int64)
+        new_pad = f.padding - nb_bit_padding
+        out.encoders = [
+            Encoder(o=float(new_o[j]), delta=float(new_delta[j]),
+                    nb_bit_precision=int(new_prec[j]),
+                    nb_bit_padding=int(new_pad[j]), round=bool(f.round[j]))
+            if f.valid[j] else out.encoders[j]
+            for j in range(len(out.encoders))
+        ]
+        nf = EncoderFields.gather(out.encoders)
+        nf = dataclasses.replace(nf, valid=nf.valid & f.valid)
+        # post-mul: add the NEW encoders' encoded zero (encode_core semantics:
+        # 0 must lie inside the new interval)
+        if np.any(nf.valid & ((new_o > 0.0) | (new_o + new_delta <= 0.0))):
+            bad = np.nonzero(nf.valid & ((new_o > 0.0)
+                                         | (new_o + new_delta <= 0.0)))[0][0]
+            raise errors.MessageOutsideIntervalError(
+                0.0, float(new_o[bad]), float(new_delta[bad]))
+        with np.errstate(over="ignore"):
+            out.data[:, -1, :] += encode_bulk(nf, 0.0).reshape(-1, n)
+        # Var(scal * ct), broadcast per ciphertext (operators.rs:75)
+        out.variances = (
+            self.variances.reshape(-1, n)
+            * (scal.astype(np.float64) ** 2)[:, None]
+        ).ravel()
+        update_precision_bulk(out.encoders, out.variances)
+
+        if negative.any():
+            # negate whole ciphertexts with negative constants (opposite per
+            # slot incl. the body correction — lwe/mod.rs:1550-1563)
+            nf2 = EncoderFields.gather(out.encoders)
+            nf2 = dataclasses.replace(
+                nf2, valid=nf2.valid & np.repeat(negative, n))
+            with np.errstate(over="ignore"):
+                neg_data = (np.zeros_like(out.data) - out.data).astype(DTYPE)
+                neg_data[:, -1, :] += opposite_correction_bulk(nf2
+                                                               ).reshape(-1, n)
+            out.data = np.where(negative[:, None, None], neg_data, out.data)
+            for j in np.nonzero(nf2.valid)[0]:
+                out.encoders[j] = out.encoders[j].opposite()
         return out
 
     # -- serialization -------------------------------------------------------------

@@ -168,6 +168,46 @@ TFHE_LIB_PARAMETERS = BooleanParameters(
 )
 
 
+# TPU-native parameter set: 128-bit security, chained worst-case gate error
+# probability <= 2^-32 (stricter accounting than the reference's 2^-25
+# DEFAULT grade — see design.gate_error_log2). Derived by the co-design
+# sweep in `concrete_tpu.design` (run: python benchmarks/param_design.py)
+# rather than inherited from the reference's CPU-FFT-era operating points:
+#
+# - (k=4, N=256) keeps the 128-bit total GLWE dimension k*N=1024 but
+#   reshapes the MXU contraction: per blind-rotate step the dot is
+#   [B, l*(k+1)*N] x [l*(k+1)*N, (k+1)*4*N] — MACs scale as l*(k+1)^2*N^2,
+#   so at fixed k*N, larger k is strictly cheaper ((4+1)^2*256^2 = 0.41x of
+#   TFHE_LIB's (1+1)^2*1024^2). The MXU sustains ~376 TOPS at the resulting
+#   [2048,2560]x[2560,5120] shape (measured, v5e).
+# - pbs_base_log=7 is the widest gadget digit that fits a signed byte
+#   (bootstrap_mxu.MxuPlan): DEFAULT's base_log=8 forces a 2-way digit
+#   sub-split that doubles contraction depth for no noise benefit at equal
+#   l*base_log.
+# - Both noise points are the reference's own published 128-bit calibration
+#   entries, no interpolation: sigma_lwe = 2^-14 (LWE128_630,
+#   lwe_params.rs:55) and sigma_glwe = 2^-25 (RLWE128_256_4,
+#   rlwe_params.rs:70 — same total dimension 1024 as RLWE128_1024_1).
+# - n=630 is the smallest LWE dimension whose calibrated sigma still admits
+#   a keyswitch within ~15% of the gate noise budget (design._ks_search);
+#   below it the security curve forces sigma_lwe too high.
+#
+# Measured on TPU v5e: 10,522 gate bootstraps/s/chip at batch 2048 (exact
+# integer arithmetic, no FFT rounding), vs 3,894/s for TFHE_LIB exact.
+# Noise model validated on hardware: docs/performance.md "TPU128".
+TPU128_PARAMETERS = BooleanParameters(
+    lwe_dimension=630,
+    glwe_dimension=4,
+    polynomial_size=256,
+    lwe_modular_std_dev=StandardDev(0.00006103515625),  # 2^-14 (LWE128_630)
+    glwe_modular_std_dev=StandardDev(0.000000029802322387695313),  # 2^-25
+    pbs_base_log=7,
+    pbs_level=2,
+    ks_base_log=2,
+    ks_level=6,
+)
+
+
 # Gaussian key std-dev presets used when generating gaussian-distributed secret
 # keys (reference: torus/mod.rs:98-104 `GAUSSIAN_KEY_LOG_STD`).
 GAUSSIAN_KEY_LOG_STD = {

@@ -300,6 +300,46 @@ def test_vector_rlwe_add_constant_families(sk_rlwe):
     assert_eq_granularity(enc, dec2, [2.0, 3.0])
 
 
+def test_vector_rlwe_constant_ops_nonpacked_mixed_signs(sk_rlwe):
+    """The vectorized constant-op paths over NON-packed ciphertexts: most
+    coefficient slots carry the invalid zero encoder (one message per RLWE,
+    constant coefficient only), two ciphertexts with different-sign
+    constants exercise the per-ciphertext broadcast + selective negation."""
+    enc = Encoder.new(-4.0, 4.0, 6, 3)
+    a = VectorRLWE.encode_encrypt(
+        sk_rlwe, [1.5, -1.0], enc, mask_seed=80, noise_seed=81)
+    assert a.nb_valid() == 2 and a.nb_ciphertexts == 2
+
+    # products must stay inside the STATIC interval [-4, 4+margin)
+    out = a.mul_constant_static_encoder([2, -3])
+    dec = out.decrypt_decode(sk_rlwe)
+    encs = [e for e in out.encoders if e.is_valid()]
+    assert abs(dec[0] - 3.0) < 4 * encs[0].get_granularity()
+    assert abs(dec[1] - 3.0) < 4 * encs[1].get_granularity()
+    # invalid slots stay invalid and keep zeroed corrections
+    assert out.nb_valid() == 2
+
+    out2 = a.mul_constant_with_padding([2.0, -2.0], 4.0, 2)
+    dec2 = out2.decrypt_decode(sk_rlwe)
+    encs2 = [e for e in out2.encoders if e.is_valid()]
+    assert abs(dec2[0] - 3.0) < 4 * encs2[0].get_granularity()
+    assert abs(dec2[1] - 2.0) < 4 * encs2[1].get_granularity()
+    assert out2.nb_valid() == 2
+    # padding is consumed
+    assert all(e.nb_bit_padding == enc.nb_bit_padding - 2 for e in encs2)
+
+
+def test_vector_rlwe_add_constant_rounding_context(sk_rlwe):
+    """add_constant_static_encoder through a rounding-context encoder hits
+    the vectorized variable-precision closest-representable path."""
+    enc = Encoder.new_rounding_context(0.0, 16.0, 5, 2)
+    a = VectorRLWE.encode_encrypt_packed(
+        sk_rlwe, [2.0, 6.0], enc, mask_seed=82, noise_seed=83)
+    out = a.add_constant_static_encoder([3.0, 4.0])
+    dec = out.decrypt_decode(sk_rlwe)
+    assert_eq_granularity(enc, dec, [5.0, 10.0])
+
+
 def test_lwebsk_fast_mode_function_bootstrap(sk):
     """u64 fast mode: LWEBSK.with_fast_mode drops low GGSW limbs / levels
     over the same key material; the functional bootstrap stays correct and
