@@ -58,7 +58,11 @@ def main():
     from concrete_tpu.core import lwe as lwe_ops
     from concrete_tpu.core import packing
     from concrete_tpu.math import ntt
-    from concrete_tpu.params import DEFAULT_PARAMETERS, TFHE_LIB_PARAMETERS
+    from concrete_tpu.params import (
+        DEFAULT_PARAMETERS,
+        TFHE_LIB_PARAMETERS,
+        TPU128_PARAMETERS,
+    )
 
     rng = np.random.default_rng(0)
     B = args.batch
@@ -76,7 +80,8 @@ def main():
         print(json.dumps(rec))
         print(f"{op:40s} {params_name:12s} {dt*1e3:10.3f} ms {unit_count/dt:14.1f}/s", file=sys.stderr)
 
-    param_sets = {"default": DEFAULT_PARAMETERS, "tfhe_lib": TFHE_LIB_PARAMETERS}
+    param_sets = {"default": DEFAULT_PARAMETERS, "tfhe_lib": TFHE_LIB_PARAMETERS,
+                  "tpu128": TPU128_PARAMETERS}
     if args.quick:
         param_sets = {"default": DEFAULT_PARAMETERS}
     want = set(args.ops.split(",")) if args.ops else None
@@ -313,6 +318,33 @@ def main():
         aes_mod.ctr_fill(rk, 7, nbytes // 16)
         dt = time.perf_counter() - t0
         record("csprng_ctr_fill", "-", dt, nbytes)
+
+        # generator-level throughput, the concrete-csprng criterion analog
+        # (concrete-csprng/benches/benchmark.rs:4-31: unbounded parent vs
+        # bounded fork child; the bound bookkeeping is the delta)
+        from concrete_tpu.csprng import AesCtrGenerator
+
+        g = AesCtrGenerator(key=1234)
+        g.generate_bytes(4096)  # warm
+        t0 = time.perf_counter()
+        g.generate_bytes(nbytes)
+        record("csprng_unbounded_bytes", "-", time.perf_counter() - t0, nbytes)
+        child = AesCtrGenerator(key=1234).try_fork(1, nbytes + 4096)[0]
+        child.generate_bytes(4096)
+        t0 = time.perf_counter()
+        child.generate_bytes(nbytes)
+        record("csprng_bounded_bytes", "-", time.perf_counter() - t0, nbytes)
+
+    # full boolean key generation (client + server keys): the
+    # concrete-boolean `gen_keys` analog (lib.rs:96) — host-side AES mask
+    # material + BSK/KSK encryption dominate
+    if wanted("gen_keys"):
+        from concrete_tpu import boolean
+
+        for kname, kparams in param_sets.items():
+            t0 = time.perf_counter()
+            boolean.gen_keys(kparams, secret_seed=1, mask_seed=2, noise_seed=3)
+            record("gen_keys", kname, time.perf_counter() - t0, 1)
 
     return results
 

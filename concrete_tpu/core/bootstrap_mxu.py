@@ -242,6 +242,14 @@ def _build_tables_pallas(r_blocks: int, planes: int, N: int,
     # Row-tile the doubling so scratch ([T, 2N] u32) and the output block
     # ([T, planes*4*N] i8) stay within VMEM at large N. Tile t seeds from
     # roll(ring, t*T) (dynamic-scalar roll), then log-doubles T rows.
+    #
+    # Tile choice was swept on v5e with chained >=100 ms timing (shorter
+    # chains through the ~25 ms tunnel RTT produce bogus 2-6x "effects"):
+    # the single-tile default and N/2 / N/8 row tiles are equal at N=1024
+    # (u32 80 us = 1.30x write floor; u64 158 us = 1.29x), and the
+    # single-tile build WINS at u64/N=512 (15 us vs 41 tiled). One hard
+    # cliff: tile=64 at u64/N=1024 HANGS the remote Mosaic compiler (like
+    # the strided-roll build, TODO.md) — never tile below 128 rows.
     if tile is None:
         tile = min(N, max(8, (1 << 22) // N))
     n_tiles = N // tile
@@ -314,6 +322,118 @@ def build_tables(rings, N: int, n_words: int = 1, limb_drop: int = 0):
             return _build_tables_pallas(
                 r_blocks, planes, N, n_words, limb_drop)(rings)
     return _build_tables_jnp(rings, N, n_words, limb_drop)
+
+
+# ---------------------------------------------------------------------------
+# fused rotation + digit extraction (VPU Pallas kernel)
+# ---------------------------------------------------------------------------
+
+
+@functools.lru_cache(maxsize=None)
+def _rotdig_pallas(ks1: int, n: int, b: int, base_log: int, level: int,
+                   interpret: bool = False, tile: int | None = None):
+    """One CMux step's negacyclic barrel rotation + signed gadget
+    decomposition as a single VPU kernel: acc [k+1, B, N] u32 + per-lane
+    degrees a_hat [B, 1] i32 -> digit matrix [B, R*N] i8 (row-block order
+    (lev, ki), n_sub == 1).
+
+    Why a kernel: the XLA form (negacyclic_monomial_mul + _digit_matrix) is
+    log2(2N)+1 select stages plus the digit bit-twiddling, each an HBM-level
+    fusion — measured 88 us/iter at the TPU128 shape (B=2048) and
+    SUPERLINEAR in batch (158 us/iter-norm at B=4096 — the whole B=4096
+    regression, docs/performance.md). In-kernel the barrel stages run on
+    VMEM-resident tiles. Pure VPU work — Mosaic's matmul deficit does not
+    apply. Bit-identical to the XLA path (tests/test_bootstrap_mxu.py).
+    """
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    if tile is None:
+        tile = min(b, 512)
+        while b % tile:
+            tile //= 2
+    n_tiles = b // tile
+    r_blocks = level * ks1
+    non_rep = 32 - base_log * level
+    mask = np.uint32((1 << base_log) - 1)
+    half_bits = np.uint32(base_log - 1)
+
+    def kernel(acc_ref, ah_ref, o_ref):
+        ah = ah_ref[:, :1]                                   # [T, 1] i32
+        for ki in range(ks1):
+            x = acc_ref[ki]                                  # [T, N] u32
+            rot = x
+            for j in range((2 * n - 1).bit_length()):
+                s = 1 << j
+                if s < n:
+                    # negacyclic static roll as slices+concat (the
+                    # _negacyclic_static_roll form; dynamic roll ops have
+                    # hung this remote Mosaic toolchain before)
+                    rolled = jnp.concatenate(
+                        [np.uint32(0) - rot[:, n - s:], rot[:, :n - s]],
+                        axis=1)
+                else:                                        # X^N == -1
+                    rolled = np.uint32(0) - rot
+                bit = (ah >> j) & 1
+                rot = jnp.where(bit == 1, rolled, rot)
+            diff = rot - x                                   # wrapping u32
+            # closest_representable + decompose_levels
+            # (math/decomposition.py — bit-identical unrolled form)
+            if non_rep:
+                msb = (diff >> np.uint32(non_rep - 1)) & np.uint32(1)
+                diff = ((diff >> np.uint32(non_rep)) + msb) << np.uint32(
+                    non_rep)
+            state = diff >> np.uint32(32 - base_log * level)
+            for step in range(level):                        # level-l first
+                res = state & mask
+                state = state >> np.uint32(base_log)
+                carry = ((res - np.uint32(1)) | state) & res
+                carry = carry >> half_bits
+                state = state + carry
+                digit = res - (carry << np.uint32(base_log))
+                # reinterpret the wrapped u32 as signed before narrowing
+                # (matches decompose_levels' bitcast + _digit_matrix's cast)
+                digit = jax.lax.bitcast_convert_type(digit, jnp.int32)
+                lev = level - 1 - step
+                c0 = (lev * ks1 + ki) * n
+                o_ref[:, c0:c0 + n] = digit.astype(jnp.int8)
+
+    return pl.pallas_call(
+        kernel,
+        grid=(n_tiles,),
+        in_specs=[
+            pl.BlockSpec((ks1, tile, n), lambda t: (0, t, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile, 1), lambda t: (t, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((tile, r_blocks * n), lambda t: (t, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, r_blocks * n), jnp.int8),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )
+
+
+def rotdig(plan: MxuPlan, acc, a_hat):
+    """Digit matrix of (X^a_hat * acc - acc): acc [k+1, B, N] u32,
+    a_hat [B] ints -> [B, R*N] i8.
+
+    The Pallas kernel is OPT-IN (CONCRETE_TPU_ROTDIG=1, u32/n_sub==1 on
+    TPU): its compile has hung the remote Mosaic toolchain at some shapes
+    (pltpu.roll history, TODO.md), so the default stays on the XLA form
+    until the kernel is proven on the target toolchain."""
+    import os
+
+    if (os.environ.get("CONCRETE_TPU_ROTDIG", "0") == "1"
+            and plan.bits == 32 and plan.n_sub == 1 and _on_tpu()):
+        with jax.enable_x64(False):
+            fn = _rotdig_pallas(plan.glwe_size, plan.polynomial_size,
+                                acc.shape[1], plan.base_log, plan.level)
+            return fn(acc, a_hat.astype(jnp.int32)[:, None])
+    rot = polynomial.negacyclic_monomial_mul(acc, a_hat[None, :])
+    return _digit_matrix(plan, rot - acc)
 
 
 # ---------------------------------------------------------------------------
@@ -471,8 +591,7 @@ def blind_rotate_mxu(cfg: ServerConfig, bsk_rings, lut, lwe, *,
 
     def step(acc, xs):
         rings_i, a_hat = xs                                  # [R,k+1,2N], [B]
-        rot = polynomial.negacyclic_monomial_mul(acc, a_hat[None, :])
-        d8 = _digit_matrix(plan, rot - acc)
+        d8 = rotdig(plan, acc, a_hat)
         if use_fused:
             from ..ops import fused_cmux as _fc
 

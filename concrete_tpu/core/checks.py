@@ -43,6 +43,20 @@ class KeyParameterMismatch(CoreError):
     pass
 
 
+class ShardingMismatch(CoreError):
+    """A tensor-parallel degree that does not divide the sharded axis."""
+
+
+def check_tp_divides(what: str, extent: int, tp: int, hint: str = ""):
+    """Typed divisibility guard for tensor-parallel pipelines: raise a
+    ShardingMismatch with an actionable message instead of an assert."""
+    if extent % tp:
+        raise ShardingMismatch(
+            f"tp={tp} does not divide {what} ({extent}); choose tp from "
+            f"{sorted(d for d in range(1, extent + 1) if extent % d == 0)}"
+            + (f" — {hint}" if hint else ""))
+
+
 def check_lwe(ct, dimension: int, what: str = "lwe ciphertext"):
     """ct: [..., n+1]."""
     if ct.shape[-1] != dimension + 1:

@@ -94,6 +94,18 @@ class RLWESecretKey:
         """Flatten to the big LWE key (lwe_secretkey from rlwe)."""
         return LWESecretKey(self.inner.into_lwe_key(), self.std_dev)
 
+    def save(self, path: str):
+        """Serialize (rlwe_secretkey.rs derives Serialize)."""
+        np.savez(path, key=self.inner.key, std_dev=self.std_dev,
+                 kind=self.inner.kind)
+
+    @classmethod
+    def load(cls, path: str) -> "RLWESecretKey":
+        d = np.load(path, allow_pickle=False)
+        key = d["key"]
+        return cls(GlweSecretKey(key, str(d["kind"]), BITS),
+                   float(d["std_dev"]))
+
 
 @dataclasses.dataclass
 class LWEBSK:

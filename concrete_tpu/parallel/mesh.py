@@ -147,9 +147,19 @@ def gate_pipeline_dp_tp(cfg: bs.ServerConfig, mesh: Mesh):
     ksk sharded on the input-key axis (axis 0); ciphertexts on the batch.
     Requires pbs_level % tp == 0 and big_lwe_dimension % tp == 0.
     """
+    from ..core import checks
+
     tp = mesh.shape["tp"]
-    assert cfg.pbs_level % tp == 0, (cfg.pbs_level, tp)
-    assert cfg.big_lwe_dimension % tp == 0
+    checks.check_tp_divides(
+        "pbs_level (the NTT pipeline shards decomposition levels)",
+        cfg.pbs_level, tp,
+        hint="the mxu pipeline shards l*(k+1) row blocks and admits more "
+             "tp degrees")
+    # the keyswitch contraction shards only when tp divides k*N (a power of
+    # two); otherwise the KSK is replicated and each rank keyswitches its dp
+    # shard alone — the keyswitch is ~1% of gate time, so odd tp degrees
+    # (e.g. tp=3 for l=3) lose nothing measurable
+    ks_sharded = cfg.big_lwe_dimension % tp == 0
 
     def run(bsk_shard, ksk_shard, lut, lin):
         n_poly = cfg.polynomial_size
@@ -165,16 +175,20 @@ def gate_pipeline_dp_tp(cfg: bs.ServerConfig, mesh: Mesh):
 
         acc, _ = jax.lax.scan(step, acc, (bsk_shard, a_hats))
         big = bs.sample_extract(acc)
-        return _keyswitch_tp(cfg, ksk_shard, big, "tp", tp)
+        if ks_sharded:
+            return _keyswitch_tp(cfg, ksk_shard, big, "tp", tp)
+        return lwe_ops.keyswitch(
+            ksk_shard, big, base_log=cfg.ks_base_log,
+            level_count=cfg.ks_level)
 
     sharded = shard_map(
         run,
         mesh=mesh,
         in_specs=(
-            P(None, None, "tp"),  # bsk levels
-            P("tp"),              # ksk input-key rows
-            P(),                  # lut replicated
-            P("dp"),              # ciphertext batch
+            P(None, None, "tp"),             # bsk levels
+            P("tp") if ks_sharded else P(),  # ksk rows (or replicated)
+            P(),                             # lut replicated
+            P("dp"),                         # ciphertext batch
         ),
         out_specs=P("dp"),
         check_rep=False,
@@ -197,10 +211,14 @@ def gate_pipeline_dp_tp_mxu(cfg: bs.ServerConfig, mesh: Mesh):
     bookkeeping). The keyswitch contraction is sharded as in the NTT variant.
     Requires row_blocks % tp == 0 and big_lwe_dimension % tp == 0.
     """
+    from ..core import checks
+
     plan = bsx.MxuPlan.from_config(cfg)
     tp = mesh.shape["tp"]
-    assert plan.row_blocks % tp == 0, (plan.row_blocks, tp)
-    assert cfg.big_lwe_dimension % tp == 0
+    checks.check_tp_divides(
+        f"row_blocks = pbs_level*(k+1)*n_sub = {plan.level}*"
+        f"{plan.glwe_size}*{plan.n_sub}", plan.row_blocks, tp)
+    ks_sharded = cfg.big_lwe_dimension % tp == 0  # see gate_pipeline_dp_tp
     blocks_local = plan.row_blocks // tp
     N = cfg.polynomial_size
 
@@ -229,16 +247,20 @@ def gate_pipeline_dp_tp_mxu(cfg: bs.ServerConfig, mesh: Mesh):
 
         acc, _ = jax.lax.scan(step, acc, (rings_shard, a_hats))
         big = bs.sample_extract(jnp.moveaxis(acc, 0, -2))
-        return _keyswitch_tp(cfg, ksk_shard, big, "tp", tp)
+        if ks_sharded:
+            return _keyswitch_tp(cfg, ksk_shard, big, "tp", tp)
+        return lwe_ops.keyswitch(
+            ksk_shard, big, base_log=cfg.ks_base_log,
+            level_count=cfg.ks_level)
 
     sharded = shard_map(
         run,
         mesh=mesh,
         in_specs=(
-            P(None, "tp"),        # rings: row blocks (levels) sharded
-            P("tp"),              # ksk input-key rows
-            P(),                  # lut replicated
-            P("dp"),              # ciphertext batch
+            P(None, "tp"),                   # rings: row blocks sharded
+            P("tp") if ks_sharded else P(),  # ksk rows (or replicated)
+            P(),                             # lut replicated
+            P("dp"),                         # ciphertext batch
         ),
         out_specs=P("dp"),
         check_rep=False,

@@ -322,3 +322,29 @@ def test_external_product_mxu_limb_drop_u64():
         bsx.external_product_mxu(cfg, jnp.asarray(masked), glwe))
     np.testing.assert_array_equal(got, want)
 
+
+@pytest.mark.parametrize("ks1,n,bl,l", [(5, 256, 7, 2), (2, 128, 7, 3),
+                                        (3, 64, 4, 2)])
+def test_rotdig_pallas_interpret_matches_xla(ks1, n, bl, l):
+    """The fused rotation+digit-extraction kernel (the production TPU path
+    for u32/n_sub==1) must be bit-identical to negacyclic_monomial_mul +
+    _digit_matrix across glwe sizes, ring sizes, and decompositions —
+    including degrees in [N, 2N) (the negated wrap half)."""
+    from concrete_tpu.math import polynomial
+
+    plan = bsx.MxuPlan(
+        lwe_dimension=4, glwe_size=ks1, polynomial_size=n, base_log=bl,
+        level=l, n_sub=1, ks_base_log=2, ks_level=3)
+    rng = np.random.default_rng(9)
+    B = 16
+    acc = jnp.asarray(rng.integers(0, 1 << 32, size=(ks1, B, n),
+                                   dtype=np.uint32))
+    a_hat = jnp.asarray(
+        np.concatenate([rng.integers(0, 2 * n, size=B - 3),
+                        [0, n, 2 * n - 1]]).astype(np.uint32))
+    rot = polynomial.negacyclic_monomial_mul(acc, a_hat[None, :])
+    want = np.asarray(bsx._digit_matrix(plan, rot - acc))
+    with jax.enable_x64(False):
+        kern = bsx._rotdig_pallas(ks1, n, B, bl, l, interpret=True)
+        got = np.asarray(kern(acc, a_hat.astype(jnp.int32)[:, None]))
+    np.testing.assert_array_equal(got, want)

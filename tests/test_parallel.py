@@ -108,3 +108,50 @@ def test_dp_tp_mxu_u64(setup):
     mesh = make_mesh(dp=4, tp=2)
     got = np.asarray(gate_pipeline_dp_tp_mxu(cfg, mesh)(rings, ksk, lut, lin))
     np.testing.assert_array_equal(got, want)
+
+
+def test_tp_nondivisible_raises_typed_error(setup):
+    """tp that does not divide the sharded axis raises ShardingMismatch with
+    an actionable message, not a bare assert (TINY: l=2, k=1, bl=8 -> R=8;
+    tp=3 divides neither R nor pbs_level)."""
+    from concrete_tpu.core import checks
+
+    cfg, *_ = setup
+    with pytest.raises(checks.ShardingMismatch, match="row_blocks"):
+        gate_pipeline_dp_tp_mxu(cfg, make_mesh(dp=2, tp=3))
+    with pytest.raises(checks.ShardingMismatch, match="pbs_level"):
+        gate_pipeline_dp_tp(cfg, make_mesh(dp=2, tp=3))
+
+
+def test_dp_tp3_replicated_keyswitch_matches_single_device():
+    """Odd tp (3) never divides the power-of-two keyswitch contraction; the
+    pipeline must fall back to a replicated keyswitch and stay bit-identical
+    (l=3 -> levels and row blocks both split 3 ways)."""
+    from concrete_tpu.dispersion import StandardDev
+    from concrete_tpu.params import BooleanParameters
+
+    p = BooleanParameters(
+        lwe_dimension=8, glwe_dimension=1, polynomial_size=128,
+        lwe_modular_std_dev=StandardDev(2.0 ** -20),
+        glwe_modular_std_dev=StandardDev(2.0 ** -25),
+        pbs_base_log=7, pbs_level=3, ks_base_log=4, ks_level=3)
+    cfg = bs.ServerConfig.from_boolean_parameters(p)
+    rng = np.random.default_rng(3)
+    n, l, ks1, N = cfg.lwe_dimension, cfg.pbs_level, cfg.glwe_size, cfg.polynomial_size
+    bsk_raw = rng.integers(0, 1 << 32, size=(n, l, ks1, ks1, N), dtype=np.uint32)
+    rings = jnp.asarray(bsx.bsk_to_mxu(bsk_raw, cfg))
+    bsk_ntt = jnp.asarray(np.stack(
+        [rng.integers(0, pr, size=(n, l, ks1, ks1, N), dtype=np.uint32)
+         for pr in cfg.primes], axis=1))
+    ksk = jnp.asarray(rng.integers(
+        0, 1 << 32, size=(cfg.big_lwe_dimension, cfg.ks_level, n + 1),
+        dtype=np.uint32))
+    lut = bs.trivial_lut_constant(cfg, np.uint32(1 << 29))
+    lin = jnp.asarray(rng.integers(0, 1 << 32, size=(12, n + 1), dtype=np.uint32))
+    mesh = make_mesh(dp=2, tp=3)
+    got = np.asarray(gate_pipeline_dp_tp_mxu(cfg, mesh)(rings, ksk, lut, lin))
+    want = np.asarray(bsx.bootstrap_keyswitch_mxu(cfg, rings, ksk, lut, lin))
+    np.testing.assert_array_equal(got, want)
+    got2 = np.asarray(gate_pipeline_dp_tp(cfg, mesh)(bsk_ntt, ksk, lut, lin))
+    want2 = np.asarray(bs.bootstrap_keyswitch(cfg, bsk_ntt, ksk, lut, lin))
+    np.testing.assert_array_equal(got2, want2)
