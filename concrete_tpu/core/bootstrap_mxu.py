@@ -420,13 +420,16 @@ def rotdig(plan: MxuPlan, acc, a_hat):
     """Digit matrix of (X^a_hat * acc - acc): acc [k+1, B, N] u32,
     a_hat [B] ints -> [B, R*N] i8.
 
-    The Pallas kernel is OPT-IN (CONCRETE_TPU_ROTDIG=1, u32/n_sub==1 on
-    TPU): its compile has hung the remote Mosaic toolchain at some shapes
-    (pltpu.roll history, TODO.md), so the default stays on the XLA form
-    until the kernel is proven on the target toolchain."""
+    Default path on TPU for the u32 single-sub-digit case (opt out with
+    CONCRETE_TPU_ROTDIG=0). Measured at the TPU128 shape: 72.7 us/iter at
+    B=2048 (XLA form ~88) and 75.2 us/iter-norm at B=4096 (XLA form 158 —
+    the XLA fusions scale superlinearly past ~2048 lanes; the kernel is
+    flat). The earlier pltpu.roll formulation HUNG the remote Mosaic
+    compiler; this slice+concat form compiles (32-300 s, shape-dependent).
+    """
     import os
 
-    if (os.environ.get("CONCRETE_TPU_ROTDIG", "0") == "1"
+    if (os.environ.get("CONCRETE_TPU_ROTDIG", "1") == "1"
             and plan.bits == 32 and plan.n_sub == 1 and _on_tpu()):
         with jax.enable_x64(False):
             fn = _rotdig_pallas(plan.glwe_size, plan.polynomial_size,
