@@ -78,17 +78,21 @@ def measure_gates(params, batches, rng, levels=None):
 
 
 def main():
+    # default batches: 2048 and 4096 only — 1024 never wins, and each batch
+    # shape costs a first compile (30-550 s through the remote toolchain
+    # with the rotation+digit kernel)
     batches = [int(x) for x in
-               os.environ.get("BENCH_BATCHES", "1024,2048,4096").split(",")]
+               os.environ.get("BENCH_BATCHES", "2048,4096").split(",")]
     from concrete_tpu.params import TFHE_LIB_PARAMETERS, TPU128_PARAMETERS
 
     rng = np.random.default_rng(0)
     print("TPU128_PARAMETERS (co-designed; worst-chain error 2^-32):",
           file=sys.stderr)
-    tpu128, tpu128_batch = measure_gates(TPU128_PARAMETERS, batches, rng)
-    # secondary rows at the single best batch (compiles through the remote
-    # tunnel cost ~30-60 s each; the full sweep lives in benchmarks/suite.py)
-    sec = [tpu128_batch or 2048]
+    tpu128, _ = measure_gates(TPU128_PARAMETERS, batches, rng)
+    # secondary rows at B=2048 (TFHE_LIB's own sweet spot; one batch shape
+    # only — compiles through the remote tunnel are expensive; the full
+    # sweep lives in benchmarks/suite.py)
+    sec = [2048]
     print("TFHE_LIB_PARAMETERS exact (reference point, error 2^-165):",
           file=sys.stderr)
     tfhe_exact, _ = measure_gates(TFHE_LIB_PARAMETERS, sec, rng)
