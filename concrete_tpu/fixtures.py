@@ -154,6 +154,10 @@ class PbsFixture(Fixture):
         {"n": 12, "k": 2, "N": 64, "base_log": 6, "levels": 3, "backend": "ntt"},
         {"n": 16, "k": 1, "N": 128, "base_log": 8, "levels": 2, "backend": "mxu"},
         {"n": 12, "k": 2, "N": 64, "base_log": 6, "levels": 3, "backend": "mxu"},
+        # the TPU128 shape class (k=4, N=256, bl=7, l=2 — params.py), both
+        # backends, scaled-down n for CPU CI cost
+        {"n": 12, "k": 4, "N": 256, "base_log": 7, "levels": 2, "backend": "ntt"},
+        {"n": 12, "k": 4, "N": 256, "base_log": 7, "levels": 2, "backend": "mxu"},
     ]
     SAMPLE_SIZE = 64
 
@@ -244,6 +248,7 @@ class ExternalProductFixture(Fixture):
         {"k": 2, "N": 64, "base_log": 6, "levels": 3, "backend": "ntt"},
         {"k": 1, "N": 128, "base_log": 8, "levels": 2, "backend": "mxu"},
         {"k": 2, "N": 64, "base_log": 6, "levels": 3, "backend": "mxu"},
+        {"k": 4, "N": 256, "base_log": 7, "levels": 2, "backend": "mxu"},
     ]
     SAMPLE_SIZE = 32
 
@@ -289,9 +294,13 @@ class ExternalProductFixture(Fixture):
                 jax.jit(lambda g, c: bs.external_product(cfg, g, c))(ggsw_ntt, jnp.asarray(cts))
             )
         dec = sk.decrypt(out)
-        predicted = npe.estimate_external_product_noise_with_binary_ggsw(
+        # the fixture drives a DETERMINISTIC GGSW(1): the rounding terms are
+        # 2x the binary-averaged formula's (E[m^2] = 1 vs 1/2) — round 3
+        # measured exactly that gap at kN >= 256
+        predicted = npe.estimate_external_product_noise_with_ggsw_message(
             params["N"], params["k"], ct_std, ggsw_std,
             params["base_log"], params["levels"], 32,
+            msg_mean=1.0, msg_second_moment=1.0,
         )
         assert_noise_bounded(dec, msgs, predicted, 32, slack_bits=0.5)
 
@@ -392,6 +401,7 @@ class CmuxFixture(Fixture):
     PARAMETERS = [
         {"k": 1, "N": 128, "base_log": 8, "levels": 2, "backend": "ntt"},
         {"k": 1, "N": 128, "base_log": 8, "levels": 2, "backend": "mxu"},
+        {"k": 4, "N": 256, "base_log": 7, "levels": 2, "backend": "mxu"},
     ]
     SAMPLE_SIZE = 32
 
@@ -436,12 +446,18 @@ class CmuxFixture(Fixture):
                     cfg, g_ntt, jnp.asarray(ct0), jnp.asarray(ct1)))
             dec = sk.decrypt(out)
             want = m1 if bit else m0
-            predicted = npe.estimate_cmux_noise_with_binary_ggsw(
-                params["k"], params["N"],
-                params["base_log"], params["levels"],
-                StandardDev(2.0 ** -20), StandardDev(2.0 ** -20),
-                StandardDev(2.0 ** -25), 32,
+            # per-bit GGSW message moments (the selector is deterministic
+            # in each branch of this fixture, not bootstrap-key binary)
+            ep = npe.estimate_external_product_noise_with_ggsw_message(
+                params["N"], params["k"],
+                npe.estimate_addition_noise(
+                    StandardDev(2.0 ** -20), StandardDev(2.0 ** -20), 32),
+                StandardDev(2.0 ** -25),
+                params["base_log"], params["levels"], 32,
+                msg_mean=float(bit), msg_second_moment=float(bit),
             )
+            predicted = npe.estimate_addition_noise(
+                ep, StandardDev(2.0 ** -20), 32)
             assert_noise_bounded(dec, want, predicted, 32, slack_bits=0.5)
 
 
@@ -634,9 +650,10 @@ class GswExternalProductFixture(Fixture):
                 base_log=params["base_log"], level_count=params["levels"]))
             dec = sk.decrypt(out)
             want = pts if bit else np.zeros_like(pts)
-            predicted = npe.estimate_external_product_noise_with_binary_ggsw(
+            predicted = npe.estimate_external_product_noise_with_ggsw_message(
                 1, params["dim"], StandardDev(2.0 ** -20), StandardDev(2.0 ** -25),
-                params["base_log"], params["levels"], 32)
+                params["base_log"], params["levels"], 32,
+                msg_mean=float(bit), msg_second_moment=float(bit))
             assert_noise_bounded(dec, want, predicted, 32, slack_bits=1.0)
 
 
@@ -1042,17 +1059,43 @@ class MxuTruncationNoiseFixture(Fixture):
         with np.errstate(over="ignore"):
             diff = (gsk.decrypt(fast) - gsk.decrypt(exact)).astype(
                 np.int32).astype(np.float64)
-        predicted = npe.estimate_mxu_truncation_noise(n, N, k, bl, lv, drop, 32)
-        # spread check (same contract as assert_noise_bounded's sigma clause)
-        measured = float(np.sqrt((diff ** 2).mean())) / 2.0 ** 32
-        bound = predicted.get_standard_dev() * 2.0 ** 0.5
-        assert measured <= bound, (
-            f"truncation noise {measured:.3e} exceeds model bound {bound:.3e}")
-        # and the model must not be wildly conservative either (the point of
-        # the fixture is to pin the amplification factor)
-        assert measured >= predicted.get_standard_dev() * 0.3, (
-            f"truncation noise {measured:.3e} far below model "
-            f"{predicted.get_standard_dev():.3e} — model regression?")
+        return float((diff ** 2).mean()) / 2.0 ** 64
+
+    def stress(self, repetitions=None, sample_size=None) -> list:
+        # POOLED criterion: the amplification model is a KEY-AVERAGE; with
+        # only n=16 toeplitz rings the per-key quadratic form in s fluctuates
+        # by tens of percent (each ring's rounding error appears in all N
+        # rotated rows, so errors are strongly correlated — measured per-rep
+        # sigma ratios span 1.0-1.6x while the repetition pool sits at the
+        # model). Pool the variance across repetitions, then apply the same
+        # sqrt(2)-slack criterion to the pooled sigma.
+        reps = repetitions or self.REPETITIONS
+        if sample_size:
+            self.SAMPLE_SIZE = sample_size
+        reports = []
+        for params in self.PARAMETERS:
+            ok, detail = True, ""
+            try:
+                pool = [self.run_one(params, rep_seed=1000 * rep + 7)
+                        for rep in range(reps)]
+                predicted = npe.estimate_mxu_truncation_noise(
+                    params["n"], params["N"], params["k"],
+                    params["base_log"], params["levels"], params["drop"], 32)
+                measured = float(np.sqrt(np.mean(pool)))
+                bound = predicted.get_standard_dev() * 2.0 ** 0.5
+                assert measured <= bound, (
+                    f"pooled truncation noise {measured:.3e} exceeds model "
+                    f"bound {bound:.3e}")
+                # the model must not be wildly conservative either (the
+                # point of the fixture is to pin the amplification factor)
+                assert measured >= predicted.get_standard_dev() * 0.3, (
+                    f"pooled truncation noise {measured:.3e} far below model "
+                    f"{predicted.get_standard_dev():.3e} — model regression?")
+            except AssertionError as e:
+                ok, detail = False, str(e)
+            reports.append(FixtureReport(
+                self.name, params, reps, self.SAMPLE_SIZE, ok, detail))
+        return reports
 
 
 ALL_FIXTURES = [

@@ -282,10 +282,48 @@ def estimate_external_product_noise_with_binary_ggsw(
     bits: int,
     key: KeyDispersion = BINARY_KEY,
 ) -> Variance:
-    """External product with a fresh binary GGSW (operators.rs:586).
+    """External product with a fresh *uniform-binary-message* GGSW
+    (operators.rs:586): the message-dependent terms are averaged over
+    m ~ Bernoulli(1/2) — the bootstrap-key regime (E[m] = E[m^2] = 1/2,
+    Var(m) = 1/4). For a DETERMINISTIC message (e.g. the GGSW(1) the
+    conformance fixtures drive) use
+    estimate_external_product_noise_with_ggsw_message, which is 2x larger
+    in the decomposition-rounding term — hardware/CPU-validated to a few
+    percent at kN in [128, 1024] (docs/performance.md "noise model").
 
     NOTE: with our exact NTT the FFT rounding contribution of the reference's
     f64 path is absent; this bound is therefore conservative for us.
+    """
+    return estimate_external_product_noise_with_ggsw_message(
+        poly_size, glwe_dimension, var_glwe, var_ggsw, base_log, level,
+        bits, key, msg_mean=0.5, msg_second_moment=0.5)
+
+
+def estimate_external_product_noise_with_ggsw_message(
+    poly_size: int,
+    glwe_dimension: int,
+    var_glwe: DispersionParameter,
+    var_ggsw: DispersionParameter,
+    base_log: int,
+    level: int,
+    bits: int,
+    key: KeyDispersion = BINARY_KEY,
+    *,
+    msg_mean: float = 1.0,
+    msg_second_moment: float = 1.0,
+) -> Variance:
+    """External product noise with explicit GGSW-message moments.
+
+    extprod(GGSW(m), c) = m*round(c) + e: the decomposition-rounding
+    residual u (body + mask-convolved-with-key) enters the phase as m*u, so
+    its variance scales with E[m^2]; the key-correction terms scale the same
+    way; the constant bias term scales with Var(m). The reference's binary
+    formula is this one at msg_mean = msg_second_moment = 1/2 (its /24 and
+    /8 denominators are /12 and /4 times E[m^2]). Validated by measurement:
+    a deterministic GGSW(1) external product at (k=4, N=256, bl=7, l=2)
+    measures 4.07e-4 phase std vs 4.07e-4 predicted here (the
+    binary-averaged formula predicts 2.88e-4 — the 1.4x gap the round-3
+    fixture caught).
     """
     l = float(level)
     k = float(glwe_dimension)
@@ -293,13 +331,15 @@ def estimate_external_product_noise_with_binary_ggsw(
     b = float(1 << base_log)
     b2l = b ** (2.0 * l)
     q2 = 2.0 ** (2 * bits)
+    m2 = float(msg_second_moment)
+    mvar = max(float(msg_second_moment) - _sq(float(msg_mean)), 0.0)
     r1 = l * (k + 1.0) * n * var_ggsw.get_modular_variance(bits) * (_sq(b) + 2.0) / 12.0
-    r2 = var_glwe.get_modular_variance(bits) / 2.0
-    r3 = (q2 - b2l) / (24.0 * b2l) * (
+    r2 = m2 * var_glwe.get_modular_variance(bits)  # operand noise rides m
+    r3 = m2 * (q2 - b2l) / (12.0 * b2l) * (
         1.0 + k * n * (key.variance_key_coefficient(bits) + _sq(key.expectation_key_coefficient()))
     )
-    r4 = k * n / 8.0 * key.variance_key_coefficient(bits)
-    r5 = 1.0 / 16.0 * _sq(1.0 - k * n * key.expectation_key_coefficient())
+    r4 = m2 * k * n / 4.0 * key.variance_key_coefficient(bits)
+    r5 = mvar / 4.0 * _sq(1.0 - k * n * key.expectation_key_coefficient())
     return Variance.from_modular_variance(r1 + r2 + r3 + r4 + r5, bits)
 
 
