@@ -41,10 +41,15 @@ def measure_gates(params, batches, rng, levels=None):
         cfg = cfg.with_fast_mode(limb_drop=0, levels=levels)
     n, l, ks1, N = cfg.lwe_dimension, cfg.pbs_level, cfg.glwe_size, cfg.polynomial_size
     bsk_raw = rng.integers(0, 1 << 32, size=(n, l, ks1, ks1, N), dtype=np.uint32)
+    from concrete_tpu.core import lwe as lwe_ops
+
     bsk = jnp.asarray(bsx.bsk_to_mxu(bsk_raw, cfg))
-    ksk = jnp.asarray(rng.integers(
+    ksk_raw = rng.integers(
         0, 1 << 32, size=(cfg.big_lwe_dimension, cfg.ks_level, n + 1),
-        dtype=np.uint32))
+        dtype=np.uint32)
+    # int8 limb-prepared KSK: the production ServerKey path (bit-identical,
+    # ~4x faster contraction than the i32 form)
+    ksk = jnp.asarray(lwe_ops.ksk_to_limbs(ksk_raw))
     lut = bs.trivial_lut_constant(cfg, np.uint32(1 << 29))
     neg_eighth = np.uint32((-(1 << 29)) % (1 << 32))
 

@@ -88,6 +88,7 @@ class ServerKey:
     backend: str = "auto"
     _bsk_ntt: jax.Array | None = dataclasses.field(default=None, repr=False)
     _bsk_mxu: jax.Array | None = dataclasses.field(default=None, repr=False)
+    _ksk8: jax.Array | None = dataclasses.field(default=None, repr=False)
 
     def resolved_backend(self) -> str:
         if self.backend != "auto":
@@ -118,6 +119,19 @@ class ServerKey:
         if self.resolved_backend() == "mxu":
             return self.bsk_mxu
         return self.bsk_ntt
+
+    def _keyswitch_key(self):
+        """int8 limb-prepared KSK on the mxu backend (bit-identical, ~4x
+        faster contraction); the u32 tensor elsewhere."""
+        from ..core import lwe as lwe_ops
+
+        if (self.resolved_backend() == "mxu" and self.cfg.ks_base_log <= 7
+                and self.ksk.shape[0] * self.ksk.shape[1] * 8192 < 2 ** 31):
+            if self._ksk8 is None:
+                self._ksk8 = jnp.asarray(
+                    lwe_ops.ksk_to_limbs(np.asarray(self.ksk)))
+            return self._ksk8
+        return self.ksk
 
     def with_fast_mode(self, *, limb_drop: int = 0,
                        levels: int | None = 2) -> "ServerKey":
@@ -258,7 +272,7 @@ class ServerKey:
     def _run_gate(self, gate: str, ct_left, ct_right):
         pipe = _gate_pipeline(self.cfg, self.resolved_backend(), gate)
         return self._padded_call(
-            lambda a, b: pipe(self._bootstrap_keys(), self.ksk, a, b),
+            lambda a, b: pipe(self._bootstrap_keys(), self._keyswitch_key(), a, b),
             ct_left, ct_right)
 
     def and_(self, ct_left, ct_right):
@@ -295,7 +309,7 @@ class ServerKey:
 
         def run(flat3):  # [3*B, n+1] after padding -> un-stack inside
             third = flat3.shape[0] // 3
-            return pipe(self._bootstrap_keys(), self.ksk,
+            return pipe(self._bootstrap_keys(), self._keyswitch_key(),
                         flat3[:third], flat3[third:2 * third], flat3[2 * third:])
 
         # pad the three operands jointly so their rows stay aligned
@@ -352,6 +366,10 @@ def _mux_pipeline(cfg: bs.ServerConfig, backend: str):
         summed = (pbs[0] + pbs[1]).at[..., -1].add(_EIGHTH)
         from ..core import lwe as lwe_ops
 
+        if ksk.dtype == jnp.int8:
+            return lwe_ops.keyswitch_limbs(
+                ksk, summed, base_log=cfg.ks_base_log,
+                level_count=cfg.ks_level)
         return lwe_ops.keyswitch(
             ksk, summed, base_log=cfg.ks_base_log, level_count=cfg.ks_level
         )

@@ -1098,6 +1098,101 @@ class MxuTruncationNoiseFixture(Fixture):
         return reports
 
 
+class CreationRetrievalFixture(Fixture):
+    """Entity creation from raw containers and lossless retrieval — the
+    analog of the reference's ~20 *_creation / *_retrieval fixture files
+    (concrete-core-fixture/src/fixture/: cleartext_*, plaintext_*,
+    lwe_ciphertext_creation, glwe_ciphertext_creation, ...). No crypto
+    content: every raw value placed into an entity must come back
+    bit-identical, across the container types of the user API."""
+
+    name = "creation_retrieval"
+    PARAMETERS = [
+        {"what": "cleartext_f64"},
+        {"what": "plaintext_u64"},
+        {"what": "lwe_raw"},
+        {"what": "glwe_raw"},
+        {"what": "secret_keys"},
+    ]
+    SAMPLE_SIZE = 64
+
+    def run_one(self, params, rep_seed):
+        rng = np.random.default_rng(rep_seed)
+        what = params["what"]
+        if what == "cleartext_f64":
+            # cleartext = unencoded f64 (cleartext_creation/retrieval.rs):
+            # the Encoder round-trips reals within its granularity, and the
+            # raw torus container round-trips exactly
+            from .highlevel import Encoder
+
+            enc = Encoder.new(-4.0, 4.0, nb_bit_precision=8, nb_bit_padding=2)
+            msgs = rng.uniform(-4.0, 4.0, self.SAMPLE_SIZE)
+            raw = enc.encode_core(msgs)
+            back = enc.decode_core(raw)
+            assert np.all(np.abs(back - msgs) <= enc.get_granularity())
+        elif what == "plaintext_u64":
+            # plaintext_creation/retrieval + vector variants: raw u64 torus
+            # values survive the Plaintext container bit-for-bit
+            from .highlevel import Encoder, Plaintext
+
+            enc = Encoder.new(0.0, 1.0, 4, 1)
+            pts = rng.integers(0, 1 << 63, self.SAMPLE_SIZE, dtype=np.uint64)
+            p = Plaintext(plaintexts=pts.copy(),
+                          encoders=[enc.copy() for _ in pts])
+            assert np.array_equal(p.plaintexts, pts)
+            p.set_nth_encoder(0, Encoder.new(0.0, 2.0, 4, 1))
+            assert np.array_equal(p.plaintexts, pts)  # encoders independent
+        elif what == "lwe_raw":
+            # lwe_ciphertext_creation (from container) + encrypt_raw /
+            # decrypt_raw round trip under a NOISELESS path is exact
+            from .highlevel import LWE, LWESecretKey
+            from .highlevel.params_presets import LWEParams
+
+            sk = LWESecretKey.new(LWEParams(64, -62), secret_seed=rep_seed)
+            pts = rng.integers(0, 1 << 64, self.SAMPLE_SIZE, dtype=np.uint64)
+            ct = LWE.encrypt_raw(sk, pts, mask_seed=rep_seed + 1,
+                                 noise_seed=rep_seed + 2)
+            back = np.asarray(ct.decrypt_raw(sk), dtype=np.uint64)
+            # noise at 2^-62 rounds away only the lowest bits
+            diff = (back - pts).astype(np.int64)
+            assert np.all(np.abs(diff) < (1 << 8)), np.abs(diff).max()
+        elif what == "glwe_raw":
+            # glwe_ciphertext_creation: raw coefficient containers round
+            # trip through the VectorRLWE entity unchanged
+            from .highlevel import VectorRLWE
+
+            data = rng.integers(0, 1 << 64, size=(3, 2, 64), dtype=np.uint64)
+            v = VectorRLWE.zero(64, 1, 3)
+            v.data[:] = data
+            assert np.array_equal(v.data, data)
+            assert v.nb_valid() == 0  # zero() slots are invalid encoders
+        elif what == "secret_keys":
+            # lwe/glwe_secret_key_creation: generated key bits retrieve
+            # losslessly through save/load (binary containers)
+            import os
+            import tempfile
+
+            from .highlevel import LWESecretKey, RLWESecretKey
+            from .highlevel.params_presets import LWEParams, RLWEParams
+
+            sk = LWESecretKey.new(LWEParams(64, -20), secret_seed=rep_seed)
+            rsk = RLWESecretKey.new(RLWEParams(64, 2, -20),
+                                    secret_seed=rep_seed + 1)
+            with tempfile.TemporaryDirectory() as d:
+                sk.save(os.path.join(d, "sk.npz"))
+                rsk.save(os.path.join(d, "rsk.npz"))
+                sk2 = LWESecretKey.load(os.path.join(d, "sk.npz"))
+                rsk2 = RLWESecretKey.load(os.path.join(d, "rsk.npz"))
+            assert np.array_equal(sk.inner.key, sk2.inner.key)
+            assert np.array_equal(rsk.inner.key, rsk2.inner.key)
+            assert sk.std_dev == sk2.std_dev
+            flat = rsk.to_lwe_secret_key()
+            assert flat.dimension == 128
+        else:  # pragma: no cover
+            raise ValueError(what)
+
+
+
 ALL_FIXTURES = [
     LweEncryptDecryptFixture,
     GlweEncryptDecryptFixture,
@@ -1128,6 +1223,7 @@ ALL_FIXTURES = [
     U64KeyswitchFixture,
     GlweArithFixture,
     MxuTruncationNoiseFixture,
+    CreationRetrievalFixture,
 ]
 
 
