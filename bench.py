@@ -65,11 +65,18 @@ def measure_gates(params, batches, rng, levels=None):
         try:
             out = gate(bsk, ksk, ca, cb)
             np.asarray(out[0, :8])  # warmup + compile; forced host pull
-            reps = 3
+            # dispatch a CHAIN of calls and pull only the last result: the
+            # device executes dispatches in order, so one ~25 ms tunnel RTT
+            # amortizes over the whole chain instead of polluting every rep
+            # (a per-rep pull overstates a 180 ms call by up to ~14%)
+            t0 = time.perf_counter()
+            np.asarray(gate(bsk, ksk, ca, cb)[0, :8])
+            est = time.perf_counter() - t0
+            reps = max(3, int(2.0 / max(est, 1e-3)))
             t0 = time.perf_counter()
             for _ in range(reps):
                 out = gate(bsk, ksk, ca, cb)
-                np.asarray(out[0, :8])  # block_until_ready may lie on axon
+            np.asarray(out[0, :8])  # block_until_ready may lie on axon
             dt = (time.perf_counter() - t0) / reps
         except Exception as e:  # noqa: BLE001 — skip OOM batch points
             print(f"batch {batch} failed: {e}", file=sys.stderr)
