@@ -469,6 +469,9 @@ class U64PbsFixture(Fixture):
     PARAMETERS = [
         {"n": 10, "k": 1, "N": 64, "base_log": 10, "levels": 3, "backend": "ntt"},
         {"n": 10, "k": 1, "N": 64, "base_log": 10, "levels": 3, "backend": "mxu"},
+        # the co-designed u64 shape class (k=4 at fixed kN — 2.5x the
+        # (1, N') PBS rate at lower noise, docs/performance.md)
+        {"n": 8, "k": 4, "N": 64, "base_log": 7, "levels": 3, "backend": "mxu"},
     ]
     SAMPLE_SIZE = 32
 
