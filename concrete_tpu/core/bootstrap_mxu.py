@@ -416,6 +416,115 @@ def _rotdig_pallas(ks1: int, n: int, b: int, base_log: int, level: int,
     )
 
 
+@functools.lru_cache(maxsize=None)
+def _rotdig_recombine_pallas(ks1: int, n: int, b: int, base_log: int,
+                             level: int, limbs_used: int, limb_drop: int,
+                             interpret: bool = False,
+                             tile: int | None = None):
+    """The rotdig kernel with the PREVIOUS iteration's limb recombination +
+    accumulator update folded in: (s_prev [B, ks1*lu*N] i32,
+    acc [k+1, B, N] u32, a_hat [B, 1] i32) -> (acc_new [k+1, B, N] u32,
+    d8 [B, R*N] i8) where acc_new = acc + recombine(s_prev) and d8 is the
+    digit matrix of (X^a_hat * acc_new - acc_new).
+
+    Why: the standalone XLA recombine+accumulate scales SUPERLINEARLY in
+    batch (27/49/189 us-norm at B=2048/4096/8192 — the same fusion
+    degradation the rotation stage had), while a standalone Mosaic
+    recombine kernel is HBM-slow (221 us: nothing to hide the streaming
+    behind). Folded here, the ~10 MB/tile S read rides the Pallas DMA
+    pipeline UNDER the barrel-rotation compute, so the whole stage
+    disappears from the serial HLO schedule. Bit-identical composition
+    (tests/test_bootstrap_mxu.py)."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    if tile is None:
+        tile = min(b, 512)
+        while b % tile:
+            tile //= 2
+    n_tiles = b // tile
+    r_blocks = level * ks1
+    non_rep = 32 - base_log * level
+    mask = np.uint32((1 << base_log) - 1)
+    half_bits = np.uint32(base_log - 1)
+
+    def kernel(s_ref, acc_ref, ah_ref, accn_ref, o_ref):
+        ah = ah_ref[:, :1]                                   # [T, 1] i32
+        for ki in range(ks1):
+            # recombine this polynomial's limb planes (wrapping i32 == mod
+            # 2^32) and update the accumulator — recombine_limb_planes form
+            base = ki * limbs_used * n
+            o = s_ref[:, base:base + n]
+            if limb_drop:
+                o = o << jnp.int32(8 * limb_drop)
+            for j in range(1, limbs_used):
+                c0 = base + j * n
+                o = o + (s_ref[:, c0:c0 + n] << jnp.int32(8 * (limb_drop + j)))
+            x = acc_ref[ki] + jax.lax.bitcast_convert_type(o, jnp.uint32)
+            accn_ref[ki] = x
+            rot = x
+            for j in range((2 * n - 1).bit_length()):
+                s = 1 << j
+                if s < n:
+                    rolled = jnp.concatenate(
+                        [np.uint32(0) - rot[:, n - s:], rot[:, :n - s]],
+                        axis=1)
+                else:                                        # X^N == -1
+                    rolled = np.uint32(0) - rot
+                bit = (ah >> j) & 1
+                rot = jnp.where(bit == 1, rolled, rot)
+            diff = rot - x                                   # wrapping u32
+            if non_rep:
+                msb = (diff >> np.uint32(non_rep - 1)) & np.uint32(1)
+                diff = ((diff >> np.uint32(non_rep)) + msb) << np.uint32(
+                    non_rep)
+            state = diff >> np.uint32(32 - base_log * level)
+            for step in range(level):                        # level-l first
+                res = state & mask
+                state = state >> np.uint32(base_log)
+                carry = ((res - np.uint32(1)) | state) & res
+                carry = carry >> half_bits
+                state = state + carry
+                digit = res - (carry << np.uint32(base_log))
+                digit = jax.lax.bitcast_convert_type(digit, jnp.int32)
+                lev = level - 1 - step
+                c0 = (lev * ks1 + ki) * n
+                o_ref[:, c0:c0 + n] = digit.astype(jnp.int8)
+
+    return pl.pallas_call(
+        kernel,
+        grid=(n_tiles,),
+        in_specs=[
+            pl.BlockSpec((tile, ks1 * limbs_used * n), lambda t: (t, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((ks1, tile, n), lambda t: (0, t, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile, 1), lambda t: (t, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((ks1, tile, n), lambda t: (0, t, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile, r_blocks * n), lambda t: (t, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((ks1, b, n), jnp.uint32),
+            jax.ShapeDtypeStruct((b, r_blocks * n), jnp.int8),
+        ),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )
+
+
+def _rotdig_kernel_active(plan: MxuPlan) -> bool:
+    import os
+
+    return (os.environ.get("CONCRETE_TPU_ROTDIG", "1") == "1"
+            and plan.bits == 32 and plan.n_sub == 1 and _on_tpu())
+
+
 def rotdig(plan: MxuPlan, acc, a_hat):
     """Digit matrix of (X^a_hat * acc - acc): acc [k+1, B, N] u32,
     a_hat [B] ints -> [B, R*N] i8.
@@ -427,10 +536,7 @@ def rotdig(plan: MxuPlan, acc, a_hat):
     flat). The earlier pltpu.roll formulation HUNG the remote Mosaic
     compiler; this slice+concat form compiles (32-300 s, shape-dependent).
     """
-    import os
-
-    if (os.environ.get("CONCRETE_TPU_ROTDIG", "1") == "1"
-            and plan.bits == 32 and plan.n_sub == 1 and _on_tpu()):
+    if _rotdig_kernel_active(plan):
         with jax.enable_x64(False):
             fn = _rotdig_pallas(plan.glwe_size, plan.polynomial_size,
                                 acc.shape[1], plan.base_log, plan.level)
@@ -592,6 +698,44 @@ def blind_rotate_mxu(cfg: ServerConfig, bsk_rings, lut, lwe, *,
 
         use_fused = _fc.fused_cmux_available(plan, b)
 
+    unroll = int(os.environ.get("CONCRETE_TPU_SCAN_UNROLL", "1"))
+
+    # Deferred-recombine is opt-in (CONCRETE_TPU_DEFER=1) until the fused
+    # kernel's on-TPU compile is validated at the gate shapes — a hung
+    # Mosaic compile on the default path would wedge the (single-tenant)
+    # chip for every caller.
+    use_defer = (os.environ.get("CONCRETE_TPU_DEFER", "0") == "1"
+                 and _rotdig_kernel_active(plan) and not use_fused)
+    if use_defer:
+        # Deferred-recombine pipeline: iteration i's limb recombination +
+        # accumulator update is folded into iteration i+1's rotdig kernel
+        # (the S read hides under the barrel-rotation compute), so the
+        # superlinear XLA recombine stage vanishes from the serial HLO
+        # schedule. The carry is (raw acc, pending dot output); one tail
+        # recombine lands after the scan.
+        with jax.enable_x64(False):
+            kern = _rotdig_recombine_pallas(
+                ks1, N, b, plan.base_log, plan.level,
+                plan.limbs_used, plan.limb_drop)
+
+        def step_deferred(carry, xs):
+            acc_c, s_prev = carry
+            rings_i, a_hat = xs
+            with jax.enable_x64(False):
+                acc_new, d8 = kern(
+                    s_prev, acc_c, a_hat.astype(jnp.int32)[:, None])
+            rhs = build_tables(rings_i, N, plan.n_words, plan.limb_drop)
+            s_new = jax.lax.dot_general(
+                d8, rhs, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32)
+            return (acc_new, s_new), None
+
+        s0 = jnp.zeros((b, ks1 * plan.limbs_used * N), jnp.int32)
+        (acc, s_last), _ = jax.lax.scan(
+            step_deferred, (acc, s0), (bsk_rings, a_hats), unroll=unroll)
+        acc = acc + recombine_limb_planes(plan, s_last)
+        return jnp.moveaxis(acc, 0, 1).reshape(lead + (ks1, N))
+
     def step(acc, xs):
         rings_i, a_hat = xs                                  # [R,k+1,2N], [B]
         d8 = rotdig(plan, acc, a_hat)
@@ -604,7 +748,6 @@ def blind_rotate_mxu(cfg: ServerConfig, bsk_rings, lut, lwe, *,
         rhs = build_tables(rings_i, N, plan.n_words, plan.limb_drop)
         return acc + _toeplitz_matmul(plan, d8, rhs), None
 
-    unroll = int(os.environ.get("CONCRETE_TPU_SCAN_UNROLL", "1"))
     acc, _ = jax.lax.scan(step, acc, (bsk_rings, a_hats), unroll=unroll)
     return jnp.moveaxis(acc, 0, 1).reshape(lead + (ks1, N))
 

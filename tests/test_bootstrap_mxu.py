@@ -348,3 +348,38 @@ def test_rotdig_pallas_interpret_matches_xla(ks1, n, bl, l):
         kern = bsx._rotdig_pallas(ks1, n, B, bl, l, interpret=True)
         got = np.asarray(kern(acc, a_hat.astype(jnp.int32)[:, None]))
     np.testing.assert_array_equal(got, want)
+
+
+@pytest.mark.parametrize("ks1,n,bl,l,drop", [(5, 256, 7, 2, 0),
+                                             (2, 128, 7, 3, 0),
+                                             (3, 64, 7, 2, 1)])
+def test_rotdig_recombine_pallas_interpret_matches_xla(ks1, n, bl, l, drop):
+    """The deferred-recombine kernel (recombine(s_prev) + acc update folded
+    into the next rotation+digit step) must be bit-identical to the XLA
+    composition acc + recombine_limb_planes followed by rotate+decompose."""
+    from concrete_tpu.math import polynomial
+
+    plan = bsx.MxuPlan(
+        lwe_dimension=4, glwe_size=ks1, polynomial_size=n, base_log=bl,
+        level=l, n_sub=1, ks_base_log=2, ks_level=3, limb_drop=drop)
+    rng = np.random.default_rng(13)
+    B = 16
+    acc = jnp.asarray(rng.integers(0, 1 << 32, size=(ks1, B, n),
+                                   dtype=np.uint32))
+    s_prev = jnp.asarray(rng.integers(
+        -(1 << 30), 1 << 30, size=(B, ks1 * plan.limbs_used * n),
+        dtype=np.int32))
+    a_hat = jnp.asarray(
+        np.concatenate([rng.integers(0, 2 * n, size=B - 3),
+                        [0, n, 2 * n - 1]]).astype(np.int32))
+    acc_new_want = np.asarray(acc + bsx.recombine_limb_planes(plan, s_prev))
+    rot = polynomial.negacyclic_monomial_mul(
+        jnp.asarray(acc_new_want), a_hat.astype(jnp.uint32)[None, :])
+    d8_want = np.asarray(bsx._digit_matrix(plan, rot - acc_new_want))
+    with jax.enable_x64(False):
+        kern = bsx._rotdig_recombine_pallas(
+            ks1, n, B, bl, l, plan.limbs_used, plan.limb_drop,
+            interpret=True)
+        acc_new, d8 = kern(s_prev, acc, a_hat[:, None])
+    np.testing.assert_array_equal(np.asarray(acc_new), acc_new_want)
+    np.testing.assert_array_equal(np.asarray(d8), d8_want)
