@@ -269,6 +269,39 @@ class ServerKey:
         out = fn(*flats)
         return out[:b].reshape(lead + out.shape[-1:])
 
+    def warmup(self, batch_sizes=(2048,), gates=("and",), mux=False):
+        """Precompile the gate pipelines for the given batch sizes.
+
+        The first call at a new (gate, padded-batch) shape pays the full
+        XLA + Mosaic compile — 30-550 s per shape through this remote TPU
+        toolchain (docs/performance.md) — so a serving process should warm
+        the shapes it will serve before taking traffic. Batches are padded
+        to powers of two (`_padded_call`), so one warmup size covers every
+        request size in (previous_power_of_two, size]. Zero-row ciphertexts
+        bootstrap harmlessly. Returns {(gate, padded_batch): seconds}.
+
+        Reference analog: none — the reference's CPU backend has no
+        compile step; this is the TPU deployment counterpart of its keygen
+        cost being paid once up front (concrete-boolean/src/lib.rs:96).
+        """
+        import time as _time
+
+        timings = {}
+        n1 = self.cfg.lwe_dimension + 1
+        for bsz in batch_sizes:
+            padded = 1 << (int(bsz) - 1).bit_length() if bsz > 1 else 1
+            z = jnp.zeros((padded, n1), jnp.uint32 if self.cfg.bits == 32
+                          else jnp.uint64)
+            for gate in gates:
+                t0 = _time.perf_counter()
+                np.asarray(self._run_gate(gate, z, z)[0, :1])  # forced pull
+                timings[(gate, padded)] = _time.perf_counter() - t0
+            if mux:
+                t0 = _time.perf_counter()
+                np.asarray(self.mux(z, z, z)[0, :1])
+                timings[("mux", padded)] = _time.perf_counter() - t0
+        return timings
+
     def _run_gate(self, gate: str, ct_left, ct_right):
         pipe = _gate_pipeline(self.cfg, self.resolved_backend(), gate)
         return self._padded_call(

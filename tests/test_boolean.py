@@ -102,3 +102,11 @@ def test_keygen_deterministic():
     ct1 = cks1.encrypt([True], mask_seed=8, noise_seed=9)
     ct2 = cks2.encrypt([True], mask_seed=8, noise_seed=9)
     np.testing.assert_array_equal(ct1, ct2)
+
+
+def test_warmup_compiles_and_times(keypair):
+    """warmup precompiles the padded-batch pipelines and reports timings."""
+    _, sks = keypair
+    t = sks.warmup(batch_sizes=(3,), gates=("and", "xor"))
+    assert set(t) == {("and", 4), ("xor", 4)}
+    assert all(v >= 0 for v in t.values())
