@@ -518,6 +518,144 @@ def _rotdig_recombine_pallas(ks1: int, n: int, b: int, base_log: int,
     )
 
 
+@functools.lru_cache(maxsize=None)
+def _rotdig_recombine_pallas1(ks1: int, n: int, b: int, base_log: int,
+                              level: int, limbs_used: int, limb_drop: int,
+                              interpret: bool = False,
+                              tile: int | None = None):
+    """Single-output form of the deferred-recombine kernel: the accumulator
+    rides through the scan as CENTERED byte limbs (i8, batch-major), so the
+    kernel has exactly one output buffer
+    ``[B, (ks1*4 + R)*N] i8`` = (acc_new limbs ‖ digit matrix).
+
+    Why this variant exists: the multi-output `_rotdig_recombine_pallas`
+    compiles standalone but the full-pipeline compile (kernel inside the
+    630-step scan) hangs the remote toolchain; the prime suspect is the
+    multi-output custom call whose outputs both feed the scan carry. This
+    form is traffic-neutral — acc as 4 byte limbs is the same bytes as u32 —
+    and the pack/unpack is a few VPU ops hidden under the barrel rotation.
+
+    Limb encoding: byte v in [0, 255] is stored as i8 (v - 128); the kernel
+    reconstructs x = sum_j ((l_j + 128) << 8j). `acc_to_limbs` /
+    `limbs_to_acc` are the XLA-side converters for scan entry/exit.
+    """
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    if tile is None:
+        tile = min(b, 512)
+        while b % tile:
+            tile //= 2
+    n_tiles = b // tile
+    r_blocks = level * ks1
+    a_cols = ks1 * 4 * n                 # acc-limb column count
+    non_rep = 32 - base_log * level
+    mask = np.uint32((1 << base_log) - 1)
+    half_bits = np.uint32(base_log - 1)
+
+    def kernel(s_ref, al_ref, ah_ref, o_ref):
+        ah = ah_ref[:, :1]                                   # [T, 1] i32
+        for ki in range(ks1):
+            # recombine this polynomial's limb planes (wrapping i32 == mod
+            # 2^32) — recombine_limb_planes form
+            base = ki * limbs_used * n
+            o = s_ref[:, base:base + n]
+            if limb_drop:
+                o = o << jnp.int32(8 * limb_drop)
+            for j in range(1, limbs_used):
+                c0 = base + j * n
+                o = o + (s_ref[:, c0:c0 + n] << jnp.int32(8 * (limb_drop + j)))
+            # reconstruct the carried accumulator from centered byte limbs
+            a = jnp.zeros_like(o)
+            for j in range(4):
+                c0 = (ki * 4 + j) * n
+                lj = al_ref[:, c0:c0 + n].astype(jnp.int32) + jnp.int32(128)
+                a = a + (lj << jnp.int32(8 * j))
+            x = jax.lax.bitcast_convert_type(a + o, jnp.uint32)
+            # emit acc_new's centered byte limbs
+            for j in range(4):
+                c0 = (ki * 4 + j) * n
+                v = ((x >> np.uint32(8 * j)) & np.uint32(0xFF))
+                v = jax.lax.bitcast_convert_type(v, jnp.int32) - jnp.int32(128)
+                o_ref[:, c0:c0 + n] = v.astype(jnp.int8)
+            rot = x
+            for j in range((2 * n - 1).bit_length()):
+                s = 1 << j
+                if s < n:
+                    rolled = jnp.concatenate(
+                        [np.uint32(0) - rot[:, n - s:], rot[:, :n - s]],
+                        axis=1)
+                else:                                        # X^N == -1
+                    rolled = np.uint32(0) - rot
+                bit = (ah >> j) & 1
+                rot = jnp.where(bit == 1, rolled, rot)
+            diff = rot - x                                   # wrapping u32
+            if non_rep:
+                msb = (diff >> np.uint32(non_rep - 1)) & np.uint32(1)
+                diff = ((diff >> np.uint32(non_rep)) + msb) << np.uint32(
+                    non_rep)
+            state = diff >> np.uint32(32 - base_log * level)
+            for step in range(level):                        # level-l first
+                res = state & mask
+                state = state >> np.uint32(base_log)
+                carry = ((res - np.uint32(1)) | state) & res
+                carry = carry >> half_bits
+                state = state + carry
+                digit = res - (carry << np.uint32(base_log))
+                digit = jax.lax.bitcast_convert_type(digit, jnp.int32)
+                lev = level - 1 - step
+                c0 = a_cols + (lev * ks1 + ki) * n
+                o_ref[:, c0:c0 + n] = digit.astype(jnp.int8)
+
+    return pl.pallas_call(
+        kernel,
+        grid=(n_tiles,),
+        in_specs=[
+            pl.BlockSpec((tile, ks1 * limbs_used * n), lambda t: (t, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile, a_cols), lambda t: (t, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile, 1), lambda t: (t, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((tile, a_cols + r_blocks * n),
+                               lambda t: (t, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, a_cols + r_blocks * n), jnp.int8),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )
+
+
+def acc_to_limbs(acc):
+    """[k+1, B, N] u32 -> [B, (k+1)*4*N] i8 centered byte limbs (the scan
+    carry layout of `_rotdig_recombine_pallas1`)."""
+    ks1, b, n = acc.shape
+    parts = []
+    for ki in range(ks1):
+        x = acc[ki]
+        for j in range(4):
+            v = ((x >> np.uint32(8 * j)) & np.uint32(0xFF))
+            v = jax.lax.bitcast_convert_type(v, jnp.int32) - jnp.int32(128)
+            parts.append(v.astype(jnp.int8))
+    return jnp.concatenate(parts, axis=1)
+
+
+def limbs_to_acc(limbs, ks1: int, n: int):
+    """Inverse of `acc_to_limbs`: [B, (k+1)*4*N] i8 -> [k+1, B, N] u32."""
+    outs = []
+    for ki in range(ks1):
+        a = None
+        for j in range(4):
+            c0 = (ki * 4 + j) * n
+            lj = limbs[:, c0:c0 + n].astype(jnp.int32) + jnp.int32(128)
+            term = lj << jnp.int32(8 * j)
+            a = term if a is None else a + term
+        outs.append(a)
+    return jax.lax.bitcast_convert_type(jnp.stack(outs, axis=0), jnp.uint32)
+
+
 def _rotdig_kernel_active(plan: MxuPlan) -> bool:
     import os
 
@@ -704,8 +842,36 @@ def blind_rotate_mxu(cfg: ServerConfig, bsk_rings, lut, lwe, *,
     # kernel's on-TPU compile is validated at the gate shapes — a hung
     # Mosaic compile on the default path would wedge the (single-tenant)
     # chip for every caller.
-    use_defer = (os.environ.get("CONCRETE_TPU_DEFER", "0") == "1"
+    defer_mode = os.environ.get("CONCRETE_TPU_DEFER", "0")
+    use_defer = (defer_mode in ("1", "2")
                  and _rotdig_kernel_active(plan) and not use_fused)
+    if use_defer and defer_mode == "2":
+        # Single-output deferred form: acc rides as centered i8 byte limbs
+        # so the kernel has ONE output (see _rotdig_recombine_pallas1).
+        with jax.enable_x64(False):
+            kern = _rotdig_recombine_pallas1(
+                ks1, N, b, plan.base_log, plan.level,
+                plan.limbs_used, plan.limb_drop)
+        a_cols = ks1 * 4 * N
+
+        def step_deferred1(carry, xs):
+            accl_c, s_prev = carry
+            rings_i, a_hat = xs
+            with jax.enable_x64(False):
+                out = kern(s_prev, accl_c, a_hat.astype(jnp.int32)[:, None])
+            accl_new, d8 = out[:, :a_cols], out[:, a_cols:]
+            rhs = build_tables(rings_i, N, plan.n_words, plan.limb_drop)
+            s_new = jax.lax.dot_general(
+                d8, rhs, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32)
+            return (accl_new, s_new), None
+
+        s0 = jnp.zeros((b, ks1 * plan.limbs_used * N), jnp.int32)
+        (accl, s_last), _ = jax.lax.scan(
+            step_deferred1, (acc_to_limbs(acc), s0), (bsk_rings, a_hats),
+            unroll=unroll)
+        acc = limbs_to_acc(accl, ks1, N) + recombine_limb_planes(plan, s_last)
+        return jnp.moveaxis(acc, 0, 1).reshape(lead + (ks1, N))
     if use_defer:
         # Deferred-recombine pipeline: iteration i's limb recombination +
         # accumulator update is folded into iteration i+1's rotdig kernel
