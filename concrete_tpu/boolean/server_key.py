@@ -89,6 +89,11 @@ class ServerKey:
     _bsk_ntt: jax.Array | None = dataclasses.field(default=None, repr=False)
     _bsk_mxu: jax.Array | None = dataclasses.field(default=None, repr=False)
     _ksk8: jax.Array | None = dataclasses.field(default=None, repr=False)
+    # batch tiers precompiled by warmup(); _pad_size pads sub-tier requests
+    # up to the smallest warmed tier so a warmed server never compiles a
+    # new shape mid-serving
+    _warmed_tiers: set = dataclasses.field(
+        default_factory=set, repr=False, compare=False)
 
     def resolved_backend(self) -> str:
         if self.backend != "auto":
@@ -247,19 +252,29 @@ class ServerKey:
     # remote-tunneled TPU that measured ~190 ms of overhead per gate call at
     # batch 2048 (~2x the entire bootstrap) — see docs/performance.md.
 
-    @staticmethod
-    def _padded_call(fn, *cts):
-        """Call `fn` with the batches flattened and padded to the next power
-        of two: gate calls then hit at most log2(B) distinct compiled shapes
-        instead of one per batch size (first compile is ~30-60 s). Zero rows
-        bootstrap harmlessly and are sliced off."""
+    def _pad_size(self, b: int) -> int:
+        """Padded batch for a `b`-row gate call: the smallest warmed tier
+        that fits (a warmed server never compiles a fresh shape for
+        sub-tier requests), else the next power of two."""
+        fitting = [t for t in self._warmed_tiers if t >= b]
+        if fitting:
+            return min(fitting)
+        return 1 << (b - 1).bit_length() if b > 1 else 1
+
+    def _padded_call(self, fn, *cts):
+        """Call `fn` with the batches flattened and padded to `_pad_size`:
+        without warmup, gate calls hit at most log2(B) distinct compiled
+        shapes (powers of two) instead of one per batch size (first compile
+        is ~30-60 s); after warmup every request <= the largest warmed tier
+        reuses a warmed executable. Zero rows bootstrap harmlessly and are
+        sliced off."""
         cts = jnp.broadcast_arrays(*[jnp.asarray(c) for c in cts])
         lead = cts[0].shape[:-1]
         flats = [c.reshape((-1, c.shape[-1])) for c in cts]
         b = flats[0].shape[0]
         if b == 0:
             return jnp.zeros(lead + cts[0].shape[-1:], cts[0].dtype)
-        padded = 1 << (b - 1).bit_length() if b > 1 else 1
+        padded = self._pad_size(b)
         if padded != b:
             flats = [
                 jnp.concatenate(
@@ -275,10 +290,12 @@ class ServerKey:
         The first call at a new (gate, padded-batch) shape pays the full
         XLA + Mosaic compile — 30-550 s per shape through this remote TPU
         toolchain (docs/performance.md) — so a serving process should warm
-        the shapes it will serve before taking traffic. Batches are padded
-        to powers of two (`_padded_call`), so one warmup size covers every
-        request size in (previous_power_of_two, size]. Zero-row ciphertexts
-        bootstrap harmlessly. Returns {(gate, padded_batch): seconds}.
+        the shapes it will serve before taking traffic. Each warmed size is
+        rounded up to a power-of-two tier, and subsequent gate calls pad
+        every request up to the smallest warmed tier that fits
+        (`_pad_size`): warming one tier covers ALL request sizes <= it with
+        zero fresh compiles. Zero-row ciphertexts bootstrap harmlessly.
+        Returns {(gate, padded_batch): seconds}.
 
         Reference analog: none — the reference's CPU backend has no
         compile step; this is the TPU deployment counterpart of its keygen
@@ -286,12 +303,13 @@ class ServerKey:
         """
         import time as _time
 
+        assert self.cfg.bits == 32, "boolean gates are a 32-bit-torus layer"
         timings = {}
         n1 = self.cfg.lwe_dimension + 1
         for bsz in batch_sizes:
             padded = 1 << (int(bsz) - 1).bit_length() if bsz > 1 else 1
-            z = jnp.zeros((padded, n1), jnp.uint32 if self.cfg.bits == 32
-                          else jnp.uint64)
+            self._warmed_tiers.add(padded)
+            z = jnp.zeros((padded, n1), jnp.uint32)
             for gate in gates:
                 t0 = _time.perf_counter()
                 np.asarray(self._run_gate(gate, z, z)[0, :1])  # forced pull
@@ -350,7 +368,7 @@ class ServerKey:
         b = stacked.shape[1]
         if b == 0:
             return jnp.zeros(lead + c.shape[-1:], c.dtype)
-        padded = 1 << (b - 1).bit_length() if b > 1 else 1
+        padded = self._pad_size(b)
         if padded != b:
             pad = jnp.zeros((3, padded - b, stacked.shape[-1]), stacked.dtype)
             stacked = jnp.concatenate([stacked, pad], axis=1)

@@ -329,6 +329,67 @@ def build_tables(rings, N: int, n_words: int = 1, limb_drop: int = 0):
 # ---------------------------------------------------------------------------
 
 
+def _kernel_barrel_rotate(x, ah, n: int):
+    """Negacyclic X^ah * x on one [T, N] u32 block inside a Pallas kernel:
+    barrel rotation over the bits of ah [T, 1] i32 (degrees in [0, 2N)).
+    Static slice+concat rolls only — dynamic roll ops have hung this remote
+    Mosaic toolchain (TODO.md). Shared verbatim by every rotdig kernel so
+    the bit-identical contract has a single definition."""
+    rot = x
+    for j in range((2 * n - 1).bit_length()):
+        s = 1 << j
+        if s < n:
+            rolled = jnp.concatenate(
+                [np.uint32(0) - rot[:, n - s:], rot[:, :n - s]], axis=1)
+        else:                                                # X^N == -1
+            rolled = np.uint32(0) - rot
+        bit = (ah >> j) & 1
+        rot = jnp.where(bit == 1, rolled, rot)
+    return rot
+
+
+def _kernel_emit_digits(o_ref, diff, ki: int, ks1: int, n: int,
+                        base_log: int, level: int, col_base: int = 0):
+    """Signed gadget decomposition of one polynomial's rotation delta
+    `diff` [T, N] u32, written as int8 digit rows into o_ref at column
+    blocks col_base + (lev*ks1 + ki)*n. The unrolled closest_representable
+    + decompose_levels form (math/decomposition.py), level-l first."""
+    non_rep = 32 - base_log * level
+    mask = np.uint32((1 << base_log) - 1)
+    half_bits = np.uint32(base_log - 1)
+    if non_rep:
+        msb = (diff >> np.uint32(non_rep - 1)) & np.uint32(1)
+        diff = ((diff >> np.uint32(non_rep)) + msb) << np.uint32(non_rep)
+    state = diff >> np.uint32(32 - base_log * level)
+    for step in range(level):
+        res = state & mask
+        state = state >> np.uint32(base_log)
+        carry = ((res - np.uint32(1)) | state) & res
+        carry = carry >> half_bits
+        state = state + carry
+        digit = res - (carry << np.uint32(base_log))
+        # reinterpret the wrapped u32 as signed before narrowing (matches
+        # decompose_levels' bitcast + _digit_matrix's cast)
+        digit = jax.lax.bitcast_convert_type(digit, jnp.int32)
+        lev = level - 1 - step
+        c0 = col_base + (lev * ks1 + ki) * n
+        o_ref[:, c0:c0 + n] = digit.astype(jnp.int8)
+
+
+def _kernel_recombine_limbs(s_ref, ki: int, limbs_used: int, limb_drop: int,
+                            n: int):
+    """Wrapping-i32 limb-plane recombination of one polynomial's dot-output
+    columns (the in-kernel recombine_limb_planes form): returns [T, N] i32."""
+    base = ki * limbs_used * n
+    o = s_ref[:, base:base + n]
+    if limb_drop:
+        o = o << jnp.int32(8 * limb_drop)
+    for j in range(1, limbs_used):
+        c0 = base + j * n
+        o = o + (s_ref[:, c0:c0 + n] << jnp.int32(8 * (limb_drop + j)))
+    return o
+
+
 @functools.lru_cache(maxsize=None)
 def _rotdig_pallas(ks1: int, n: int, b: int, base_log: int, level: int,
                    interpret: bool = False, tile: int | None = None):
@@ -354,49 +415,13 @@ def _rotdig_pallas(ks1: int, n: int, b: int, base_log: int, level: int,
             tile //= 2
     n_tiles = b // tile
     r_blocks = level * ks1
-    non_rep = 32 - base_log * level
-    mask = np.uint32((1 << base_log) - 1)
-    half_bits = np.uint32(base_log - 1)
 
     def kernel(acc_ref, ah_ref, o_ref):
         ah = ah_ref[:, :1]                                   # [T, 1] i32
         for ki in range(ks1):
             x = acc_ref[ki]                                  # [T, N] u32
-            rot = x
-            for j in range((2 * n - 1).bit_length()):
-                s = 1 << j
-                if s < n:
-                    # negacyclic static roll as slices+concat (the
-                    # _negacyclic_static_roll form; dynamic roll ops have
-                    # hung this remote Mosaic toolchain before)
-                    rolled = jnp.concatenate(
-                        [np.uint32(0) - rot[:, n - s:], rot[:, :n - s]],
-                        axis=1)
-                else:                                        # X^N == -1
-                    rolled = np.uint32(0) - rot
-                bit = (ah >> j) & 1
-                rot = jnp.where(bit == 1, rolled, rot)
-            diff = rot - x                                   # wrapping u32
-            # closest_representable + decompose_levels
-            # (math/decomposition.py — bit-identical unrolled form)
-            if non_rep:
-                msb = (diff >> np.uint32(non_rep - 1)) & np.uint32(1)
-                diff = ((diff >> np.uint32(non_rep)) + msb) << np.uint32(
-                    non_rep)
-            state = diff >> np.uint32(32 - base_log * level)
-            for step in range(level):                        # level-l first
-                res = state & mask
-                state = state >> np.uint32(base_log)
-                carry = ((res - np.uint32(1)) | state) & res
-                carry = carry >> half_bits
-                state = state + carry
-                digit = res - (carry << np.uint32(base_log))
-                # reinterpret the wrapped u32 as signed before narrowing
-                # (matches decompose_levels' bitcast + _digit_matrix's cast)
-                digit = jax.lax.bitcast_convert_type(digit, jnp.int32)
-                lev = level - 1 - step
-                c0 = (lev * ks1 + ki) * n
-                o_ref[:, c0:c0 + n] = digit.astype(jnp.int8)
+            rot = _kernel_barrel_rotate(x, ah, n)
+            _kernel_emit_digits(o_ref, rot - x, ki, ks1, n, base_log, level)
 
     return pl.pallas_call(
         kernel,
@@ -444,52 +469,17 @@ def _rotdig_recombine_pallas(ks1: int, n: int, b: int, base_log: int,
             tile //= 2
     n_tiles = b // tile
     r_blocks = level * ks1
-    non_rep = 32 - base_log * level
-    mask = np.uint32((1 << base_log) - 1)
-    half_bits = np.uint32(base_log - 1)
 
     def kernel(s_ref, acc_ref, ah_ref, accn_ref, o_ref):
         ah = ah_ref[:, :1]                                   # [T, 1] i32
         for ki in range(ks1):
-            # recombine this polynomial's limb planes (wrapping i32 == mod
-            # 2^32) and update the accumulator — recombine_limb_planes form
-            base = ki * limbs_used * n
-            o = s_ref[:, base:base + n]
-            if limb_drop:
-                o = o << jnp.int32(8 * limb_drop)
-            for j in range(1, limbs_used):
-                c0 = base + j * n
-                o = o + (s_ref[:, c0:c0 + n] << jnp.int32(8 * (limb_drop + j)))
+            # fold the previous iteration's recombine into this one's
+            # accumulator update (wrapping i32 == mod 2^32)
+            o = _kernel_recombine_limbs(s_ref, ki, limbs_used, limb_drop, n)
             x = acc_ref[ki] + jax.lax.bitcast_convert_type(o, jnp.uint32)
             accn_ref[ki] = x
-            rot = x
-            for j in range((2 * n - 1).bit_length()):
-                s = 1 << j
-                if s < n:
-                    rolled = jnp.concatenate(
-                        [np.uint32(0) - rot[:, n - s:], rot[:, :n - s]],
-                        axis=1)
-                else:                                        # X^N == -1
-                    rolled = np.uint32(0) - rot
-                bit = (ah >> j) & 1
-                rot = jnp.where(bit == 1, rolled, rot)
-            diff = rot - x                                   # wrapping u32
-            if non_rep:
-                msb = (diff >> np.uint32(non_rep - 1)) & np.uint32(1)
-                diff = ((diff >> np.uint32(non_rep)) + msb) << np.uint32(
-                    non_rep)
-            state = diff >> np.uint32(32 - base_log * level)
-            for step in range(level):                        # level-l first
-                res = state & mask
-                state = state >> np.uint32(base_log)
-                carry = ((res - np.uint32(1)) | state) & res
-                carry = carry >> half_bits
-                state = state + carry
-                digit = res - (carry << np.uint32(base_log))
-                digit = jax.lax.bitcast_convert_type(digit, jnp.int32)
-                lev = level - 1 - step
-                c0 = (lev * ks1 + ki) * n
-                o_ref[:, c0:c0 + n] = digit.astype(jnp.int8)
+            rot = _kernel_barrel_rotate(x, ah, n)
+            _kernel_emit_digits(o_ref, rot - x, ki, ks1, n, base_log, level)
 
     return pl.pallas_call(
         kernel,
@@ -549,22 +539,11 @@ def _rotdig_recombine_pallas1(ks1: int, n: int, b: int, base_log: int,
     n_tiles = b // tile
     r_blocks = level * ks1
     a_cols = ks1 * 4 * n                 # acc-limb column count
-    non_rep = 32 - base_log * level
-    mask = np.uint32((1 << base_log) - 1)
-    half_bits = np.uint32(base_log - 1)
 
     def kernel(s_ref, al_ref, ah_ref, o_ref):
         ah = ah_ref[:, :1]                                   # [T, 1] i32
         for ki in range(ks1):
-            # recombine this polynomial's limb planes (wrapping i32 == mod
-            # 2^32) — recombine_limb_planes form
-            base = ki * limbs_used * n
-            o = s_ref[:, base:base + n]
-            if limb_drop:
-                o = o << jnp.int32(8 * limb_drop)
-            for j in range(1, limbs_used):
-                c0 = base + j * n
-                o = o + (s_ref[:, c0:c0 + n] << jnp.int32(8 * (limb_drop + j)))
+            o = _kernel_recombine_limbs(s_ref, ki, limbs_used, limb_drop, n)
             # reconstruct the carried accumulator from centered byte limbs
             a = jnp.zeros_like(o)
             for j in range(4):
@@ -578,34 +557,9 @@ def _rotdig_recombine_pallas1(ks1: int, n: int, b: int, base_log: int,
                 v = ((x >> np.uint32(8 * j)) & np.uint32(0xFF))
                 v = jax.lax.bitcast_convert_type(v, jnp.int32) - jnp.int32(128)
                 o_ref[:, c0:c0 + n] = v.astype(jnp.int8)
-            rot = x
-            for j in range((2 * n - 1).bit_length()):
-                s = 1 << j
-                if s < n:
-                    rolled = jnp.concatenate(
-                        [np.uint32(0) - rot[:, n - s:], rot[:, :n - s]],
-                        axis=1)
-                else:                                        # X^N == -1
-                    rolled = np.uint32(0) - rot
-                bit = (ah >> j) & 1
-                rot = jnp.where(bit == 1, rolled, rot)
-            diff = rot - x                                   # wrapping u32
-            if non_rep:
-                msb = (diff >> np.uint32(non_rep - 1)) & np.uint32(1)
-                diff = ((diff >> np.uint32(non_rep)) + msb) << np.uint32(
-                    non_rep)
-            state = diff >> np.uint32(32 - base_log * level)
-            for step in range(level):                        # level-l first
-                res = state & mask
-                state = state >> np.uint32(base_log)
-                carry = ((res - np.uint32(1)) | state) & res
-                carry = carry >> half_bits
-                state = state + carry
-                digit = res - (carry << np.uint32(base_log))
-                digit = jax.lax.bitcast_convert_type(digit, jnp.int32)
-                lev = level - 1 - step
-                c0 = a_cols + (lev * ks1 + ki) * n
-                o_ref[:, c0:c0 + n] = digit.astype(jnp.int8)
+            rot = _kernel_barrel_rotate(x, ah, n)
+            _kernel_emit_digits(o_ref, rot - x, ki, ks1, n, base_log, level,
+                                col_base=a_cols)
 
     return pl.pallas_call(
         kernel,

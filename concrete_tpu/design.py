@@ -189,7 +189,7 @@ class Candidate:
     err_log2_fresh: float
 
 
-def _ks_search(n: int, kn: int, sig_lwe: float, var_budget: float,
+def _ks_search(kn: int, sig_lwe: float, var_budget: float,
                bits: int = 32):
     """Cheapest keyswitch decomposition whose added noise fits the budget:
     minimize l_ks (KSK size and keyswitch work), then the variance itself."""
@@ -231,7 +231,7 @@ def search(target_err_log2: float = -25.0, security: int = 128,
         sig_glwe = 2.0 ** min_log2_std(kn, security)
         for n in n_range:
             sig_lwe = 2.0 ** min_log2_std(n, security)
-            ks = _ks_search(n, kn, sig_lwe, ks_var_budget)
+            ks = _ks_search(kn, sig_lwe, ks_var_budget)
             if ks is None:
                 continue
             for l in levels:

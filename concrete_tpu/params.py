@@ -192,8 +192,10 @@ TFHE_LIB_PARAMETERS = BooleanParameters(
 #   a keyswitch within ~15% of the gate noise budget (design._ks_search);
 #   below it the security curve forces sigma_lwe too high.
 #
-# Measured on TPU v5e: 10,522 gate bootstraps/s/chip at batch 2048 (exact
-# integer arithmetic, no FFT rounding), vs 3,894/s for TFHE_LIB exact.
+# Measured on TPU v5e: 12,839 gate bootstraps/s/chip at batch 2048 (exact
+# integer arithmetic, no FFT rounding; RTT-amortized chained dispatch with
+# the fused rotation+digit kernel — docs/performance.md "Timing methodology
+# note"), vs 4,012/s for TFHE_LIB exact measured the same way.
 # Noise model validated on hardware: docs/performance.md "TPU128".
 TPU128_PARAMETERS = BooleanParameters(
     lwe_dimension=630,

@@ -110,3 +110,24 @@ def test_warmup_compiles_and_times(keypair):
     t = sks.warmup(batch_sizes=(3,), gates=("and", "xor"))
     assert set(t) == {("and", 4), ("xor", 4)}
     assert all(v >= 0 for v in t.values())
+
+
+def test_warmup_tier_covers_smaller_requests(keypair):
+    """After warming one tier, every request <= it pads UP to that tier (no
+    fresh compiled shape per power of two); larger requests fall back to
+    the power-of-two ladder, and gates still decode correctly."""
+    cks, sks = keypair
+    saved = set(sks._warmed_tiers)       # module-scoped fixture: isolate
+    try:
+        sks._warmed_tiers.clear()
+        sks.warmup(batch_sizes=(8,), gates=("and",))
+        assert sks._pad_size(3) == 8     # would be 4 without the tier
+        assert sks._pad_size(8) == 8
+        assert sks._pad_size(9) == 16    # beyond the tier: power of two
+        a = cks.encrypt([True, False, True], mask_seed=20, noise_seed=21)
+        b = cks.encrypt([True, True, False], mask_seed=22, noise_seed=23)
+        out = np.asarray(sks.and_(a, b))
+        assert [bool(x) for x in cks.decrypt(out)] == [True, False, False]
+    finally:
+        sks._warmed_tiers.clear()
+        sks._warmed_tiers.update(saved)

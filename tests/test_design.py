@@ -103,7 +103,7 @@ def test_search_returns_shipped_point_class():
 
 
 def test_ks_search_minimizes_levels():
-    got = design._ks_search(630, 1024, 2.0 ** -14, 2.0 ** -14.5)
+    got = design._ks_search(1024, 2.0 ** -14, 2.0 ** -14.5)
     assert got is not None
     bl, l = got
     # any feasible solution with fewer levels must not exist
