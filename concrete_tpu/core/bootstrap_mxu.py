@@ -349,11 +349,14 @@ def _kernel_barrel_rotate(x, ah, n: int):
 
 
 def _kernel_emit_digits(o_ref, diff, ki: int, ks1: int, n: int,
-                        base_log: int, level: int, col_base: int = 0):
+                        base_log: int, level: int, col_base: int = 0,
+                        n_sub: int = 1):
     """Signed gadget decomposition of one polynomial's rotation delta
     `diff` [T, N] u32, written as int8 digit rows into o_ref at column
-    blocks col_base + (lev*ks1 + ki)*n. The unrolled closest_representable
-    + decompose_levels form (math/decomposition.py), level-l first."""
+    blocks col_base + ((lev*n_sub + sub)*ks1 + ki)*n. The unrolled
+    closest_representable + decompose_levels form (math/decomposition.py),
+    level-l first; for n_sub > 1 each digit splits into balanced 7-bit
+    chunks emitted MSB-first (the _digit_matrix sub-digit order)."""
     non_rep = 32 - base_log * level
     mask = np.uint32((1 << base_log) - 1)
     half_bits = np.uint32(base_log - 1)
@@ -372,8 +375,25 @@ def _kernel_emit_digits(o_ref, diff, ki: int, ks1: int, n: int,
         # decompose_levels' bitcast + _digit_matrix's cast)
         digit = jax.lax.bitcast_convert_type(digit, jnp.int32)
         lev = level - 1 - step
-        c0 = col_base + (lev * ks1 + ki) * n
-        o_ref[:, c0:c0 + n] = digit.astype(jnp.int8)
+        if n_sub == 1:
+            subs = (digit,)
+        else:
+            # LSB-first balanced chunks d = sum_j 2^{7j} e_j, |e_j| <= 64,
+            # emitted MSB-first (mirrors _digit_matrix exactly)
+            w = MxuPlan.SUB_CHUNK_BITS
+            half = np.int32(1 << (w - 1))
+            msk = np.int32((1 << w) - 1)
+            rem = digit
+            chunks = []
+            for _ in range(n_sub - 1):
+                e = ((rem + half) & msk) - half
+                rem = (rem - e) >> np.int32(w)
+                chunks.append(e)
+            chunks.append(rem)
+            subs = tuple(reversed(chunks))
+        for sub, dsub in enumerate(subs):
+            c0 = col_base + ((lev * n_sub + sub) * ks1 + ki) * n
+            o_ref[:, c0:c0 + n] = dsub.astype(jnp.int8)
 
 
 def _kernel_recombine_limbs(s_ref, ki: int, limbs_used: int, limb_drop: int,
@@ -392,11 +412,12 @@ def _kernel_recombine_limbs(s_ref, ki: int, limbs_used: int, limb_drop: int,
 
 @functools.lru_cache(maxsize=None)
 def _rotdig_pallas(ks1: int, n: int, b: int, base_log: int, level: int,
+                   n_sub: int = 1,
                    interpret: bool = False, tile: int | None = None):
     """One CMux step's negacyclic barrel rotation + signed gadget
     decomposition as a single VPU kernel: acc [k+1, B, N] u32 + per-lane
     degrees a_hat [B, 1] i32 -> digit matrix [B, R*N] i8 (row-block order
-    (lev, ki), n_sub == 1).
+    (lev, sub, ki); R = level*n_sub*(k+1)).
 
     Why a kernel: the XLA form (negacyclic_monomial_mul + _digit_matrix) is
     log2(2N)+1 select stages plus the digit bit-twiddling, each an HBM-level
@@ -414,14 +435,15 @@ def _rotdig_pallas(ks1: int, n: int, b: int, base_log: int, level: int,
         while b % tile:
             tile //= 2
     n_tiles = b // tile
-    r_blocks = level * ks1
+    r_blocks = level * n_sub * ks1
 
     def kernel(acc_ref, ah_ref, o_ref):
         ah = ah_ref[:, :1]                                   # [T, 1] i32
         for ki in range(ks1):
             x = acc_ref[ki]                                  # [T, N] u32
             rot = _kernel_barrel_rotate(x, ah, n)
-            _kernel_emit_digits(o_ref, rot - x, ki, ks1, n, base_log, level)
+            _kernel_emit_digits(o_ref, rot - x, ki, ks1, n, base_log, level,
+                                n_sub=n_sub)
 
     return pl.pallas_call(
         kernel,
@@ -613,8 +635,17 @@ def limbs_to_acc(limbs, ks1: int, n: int):
 def _rotdig_kernel_active(plan: MxuPlan) -> bool:
     import os
 
-    return (os.environ.get("CONCRETE_TPU_ROTDIG", "1") == "1"
-            and plan.bits == 32 and plan.n_sub == 1 and _on_tpu())
+    if not (os.environ.get("CONCRETE_TPU_ROTDIG", "1") == "1"
+            and plan.bits == 32 and _on_tpu()):
+        return False
+    if plan.n_sub == 1:
+        return True
+    # n_sub==2 (base_log 8, e.g. DEFAULT_PARAMETERS): kernel implemented and
+    # interpreter-validated, but opt-in until its on-TPU Mosaic compile is
+    # validated at the gate shapes (an unvalidated compile on the default
+    # path could wedge the single-tenant chip — TODO.md).
+    return (plan.n_sub == 2
+            and os.environ.get("CONCRETE_TPU_ROTDIG_NSUB2", "0") == "1")
 
 
 def rotdig(plan: MxuPlan, acc, a_hat):
@@ -631,7 +662,8 @@ def rotdig(plan: MxuPlan, acc, a_hat):
     if _rotdig_kernel_active(plan):
         with jax.enable_x64(False):
             fn = _rotdig_pallas(plan.glwe_size, plan.polynomial_size,
-                                acc.shape[1], plan.base_log, plan.level)
+                                acc.shape[1], plan.base_log, plan.level,
+                                plan.n_sub)
             return fn(acc, a_hat.astype(jnp.int32)[:, None])
     rot = polynomial.negacyclic_monomial_mul(acc, a_hat[None, :])
     return _digit_matrix(plan, rot - acc)
@@ -797,7 +829,8 @@ def blind_rotate_mxu(cfg: ServerConfig, bsk_rings, lut, lwe, *,
     # Mosaic compile on the default path would wedge the (single-tenant)
     # chip for every caller.
     defer_mode = os.environ.get("CONCRETE_TPU_DEFER", "0")
-    use_defer = (defer_mode in ("1", "2")
+    # the deferred kernels emit single-sub digit rows only (n_sub == 1)
+    use_defer = (defer_mode in ("1", "2") and plan.n_sub == 1
                  and _rotdig_kernel_active(plan) and not use_fused)
     if use_defer and defer_mode == "2":
         # Single-output deferred form: acc rides as centered i8 byte limbs

@@ -385,6 +385,33 @@ def test_rotdig_recombine_pallas_interpret_matches_xla(ks1, n, bl, l, drop):
     np.testing.assert_array_equal(np.asarray(d8), d8_want)
 
 
+@pytest.mark.parametrize("ks1,n,bl,l,n_sub", [(3, 128, 8, 2, 2),
+                                              (2, 64, 12, 2, 2)])
+def test_rotdig_pallas_nsub2_interpret_matches_xla(ks1, n, bl, l, n_sub):
+    """The rotation+digit kernel with sub-digit splitting (n_sub=2 — the
+    DEFAULT_PARAMETERS base_log=8 regime) must be bit-identical to
+    negacyclic_monomial_mul + _digit_matrix, including the balanced 7-bit
+    chunk order (lev, sub MSB-first, ki)."""
+    from concrete_tpu.math import polynomial
+
+    plan = bsx.MxuPlan(
+        lwe_dimension=4, glwe_size=ks1, polynomial_size=n, base_log=bl,
+        level=l, n_sub=n_sub, ks_base_log=2, ks_level=3)
+    rng = np.random.default_rng(23)
+    B = 16
+    acc = jnp.asarray(rng.integers(0, 1 << 32, size=(ks1, B, n),
+                                   dtype=np.uint32))
+    a_hat = jnp.asarray(
+        np.concatenate([rng.integers(0, 2 * n, size=B - 3),
+                        [0, n, 2 * n - 1]]).astype(np.uint32))
+    rot = polynomial.negacyclic_monomial_mul(acc, a_hat[None, :])
+    want = np.asarray(bsx._digit_matrix(plan, rot - acc))
+    with jax.enable_x64(False):
+        kern = bsx._rotdig_pallas(ks1, n, B, bl, l, n_sub, interpret=True)
+        got = np.asarray(kern(acc, a_hat.astype(jnp.int32)[:, None]))
+    np.testing.assert_array_equal(got, want)
+
+
 def test_acc_limb_roundtrip():
     """acc_to_limbs / limbs_to_acc invert each other (the i8 centered-limb
     scan-carry layout of the single-output deferred kernel)."""
