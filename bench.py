@@ -89,7 +89,43 @@ def measure_gates(params, batches, rng, levels=None):
     return best, best_batch
 
 
+def _require_live_backend(timeout_s: float = 300.0):
+    """Fail fast (with a diagnostic JSON line) if the accelerator backend
+    cannot initialize. A lost/wedged remote TPU claim makes PJRT client
+    creation block FOREVER inside jax.devices() — observed 2026-08-17 for
+    >3 h after a killed remote compile — which would hang the whole bench
+    run; a bounded probe turns that into an actionable error instead."""
+    import threading
+
+    out = {}
+
+    def probe():
+        import jax
+
+        try:
+            out["devices"] = jax.devices()
+        except Exception as e:  # noqa: BLE001 — report, don't hang
+            out["error"] = repr(e)
+
+    th = threading.Thread(target=probe, daemon=True)
+    th.start()
+    th.join(timeout_s)
+    if th.is_alive() or "error" in out:
+        why = out.get("error", f"backend init still blocked after "
+                               f"{timeout_s:.0f}s (wedged TPU claim?)")
+        print(json.dumps({
+            "metric": "gate_bootstraps_per_s_per_chip_n1024",
+            "value": 0,
+            "unit": "gates/s",
+            "vs_baseline": 0,
+            "error": f"accelerator unavailable: {why}",
+        }))
+        sys.exit(1)
+    print(f"backend: {out['devices']}", file=sys.stderr)
+
+
 def main():
+    _require_live_backend()
     # default batches: 2048 and 4096 only — 1024 never wins, and each batch
     # shape costs a first compile (30-550 s through the remote toolchain
     # with the rotation+digit kernel)
