@@ -135,6 +135,76 @@ def gate_error_log2(p: BooleanParameters, *, level: int | None = None,
     return (-x * x - math.log(x * math.sqrt(math.pi))) / math.log(2.0)
 
 
+def _erfc_tail_x(target_log2: float) -> float:
+    """x with erfc(x) ~= 2^target_log2 (upper tail inverse, 1% grid)."""
+    x = math.sqrt(-target_log2 * math.log(2.0))
+    while math.erfc(x) > 2.0 ** target_log2:
+        x *= 1.01
+    return x
+
+
+def max_bootstrap_precision(polynomial_size: int, lwe_dimension: int,
+                            target_err_log2: float = -13.0,
+                            nb_bit_padding: int = 1) -> int:
+    """Largest encoder precision a PBS at this (N, n) can evaluate with
+    per-slot decode error <= 2^target from modulus-switch rounding alone.
+
+    Rounding the n mask elements + body to the 2N LUT grid adds noise of
+    sigma = sqrt(n/24 + 1/12) grid steps (lwe.log2_rounding_noise,
+    concrete/src/lwe/mod.rs:1855 analog) — independent of N, so the LUT
+    interval half-width N/2^(p+pad) steps must cover it:
+    p <= log2(N / m) - pad with m = x*sqrt(2)*sigma, erfc(x) = 2^target.
+
+    This is the honest limit the runtime warnings enforce statistically;
+    measured at n=630 (tests/test_design.py): N=256 misdecodes 4-bit
+    messages (~12%/slot predicted), N=512 carries 4 bits cleanly.
+
+    >>> max_bootstrap_precision(512, 630, target_err_log2=-13.0)
+    3
+    >>> max_bootstrap_precision(4096, 630, target_err_log2=-13.0)
+    6
+    """
+    sigma = math.sqrt(lwe_dimension / 24.0 + 1.0 / 12.0)
+    m = _erfc_tail_x(target_err_log2) * math.sqrt(2.0) * sigma
+    return max(0, int(math.floor(math.log2(polynomial_size / m)))
+               - nb_bit_padding)
+
+
+def recommend_rlwe(nb_bit_precision: int, lwe_dimension: int = 630,
+                   target_err_log2: float = -13.0,
+                   nb_bit_padding: int = 1):
+    """Fastest 128-bit RLWE preset whose PBS carries `nb_bit_precision`
+    bits at the target per-slot error.
+
+    At fixed total GLWE dimension k*N the external-product MACs scale as
+    l*(k+1)^2*N^2, so the smallest feasible N with the largest k wins —
+    measured 2.5x PBS throughput going (N=1024, k=1) -> (N=256, k=4) at
+    LOWER output noise (docs/performance.md "u64 torus"). Feasibility is
+    `max_bootstrap_precision`: LUT resolution, not output noise, is what
+    small N trades away.
+
+    >>> recommend_rlwe(2).polynomial_size   # low precision: fastest shape
+    256
+    >>> recommend_rlwe(4).polynomial_size   # mid: N=1024-class resolution
+    1024
+    >>> recommend_rlwe(6).polynomial_size   # high: resolution dominates
+    4096
+    """
+    from .highlevel import params_presets as pp
+
+    for preset in (pp.RLWE128_256_4, pp.RLWE128_512_2, pp.RLWE128_1024_1,
+                   pp.RLWE128_2048_1, pp.RLWE128_4096_1):
+        if max_bootstrap_precision(
+                preset.polynomial_size, lwe_dimension, target_err_log2,
+                nb_bit_padding) >= nb_bit_precision:
+            return preset
+    raise ValueError(
+        f"no 128-bit RLWE preset carries {nb_bit_precision} bits at "
+        f"2^{target_err_log2} for lwe_dimension={lwe_dimension}; reduce the "
+        f"precision, the input LWE dimension (smaller n shrinks the "
+        f"modulus-switch noise), or the target confidence")
+
+
 # ---------------------------------------------------------------------------
 # cost: measured v5e stage model
 # ---------------------------------------------------------------------------

@@ -125,3 +125,66 @@ def test_infeasible_target_returns_empty():
                           shapes=((1, 1024),), levels=range(1, 2),
                           base_logs=range(3, 4))
     assert cands == []
+
+
+def test_max_bootstrap_precision_model():
+    """LUT-resolution limit: modulus-switch noise is N-independent, so each
+    doubling of N buys exactly one message bit; values pinned at n=630."""
+    got = {N: design.max_bootstrap_precision(N, 630)
+           for N in (256, 512, 1024, 2048, 4096)}
+    assert got == {256: 2, 512: 3, 1024: 4, 2048: 5, 4096: 6}
+    # smaller input LWE dimension shrinks the rounding noise -> more bits
+    assert (design.max_bootstrap_precision(256, 256)
+            > design.max_bootstrap_precision(256, 630) - 1)
+
+
+def test_recommend_rlwe_prefers_small_n_when_feasible():
+    assert design.recommend_rlwe(2).polynomial_size == 256
+    assert design.recommend_rlwe(4).polynomial_size == 1024
+    assert design.recommend_rlwe(6).polynomial_size == 4096
+    with pytest.raises(ValueError):
+        design.recommend_rlwe(12)
+
+
+def test_slow_modswitch_precision_empirical():
+    """The precision model is real: 4-bit messages through a genuine PBS at
+    N=256/n=630 misdecode (predicted ~12%/slot), while the recommended
+    shape for 3 bits (N=512) round-trips the full 3-bit range cleanly.
+    Fixed seeds make the misdecode deterministic."""
+    import warnings
+
+    import numpy as np
+
+    from concrete_tpu.highlevel import (Encoder, LWEBSK, LWESecretKey,
+                                        RLWESecretKey)
+    from concrete_tpu.highlevel import lwe as hlwe
+    from concrete_tpu.highlevel.params_presets import (LWE128_630,
+                                                       RLWE128_256_4,
+                                                       RLWE128_512_2)
+
+    sk = LWESecretKey.new(LWE128_630, secret_seed=1)
+
+    # N=256: beyond its 2-bit limit -> wrong decode (warning-free at 4 bits,
+    # which is exactly why the static model matters)
+    rsk = RLWESecretKey.new(RLWE128_256_4, secret_seed=2)
+    bsk = LWEBSK.new(sk, rsk, 7, 3, mask_seed=3, noise_seed=4)
+    enc4 = Encoder.new(0.0, 15.0, 4, 1)
+    vals4 = np.array([15.0, 1.0, 8.0])
+    ct = hlwe.LWE.encode_encrypt(sk, vals4, enc4, mask_seed=5, noise_seed=6)
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        dec = ct.bootstrap(bsk).decrypt_decode_round(
+            rsk.to_lwe_secret_key())
+    assert not np.array_equal(dec, vals4), dec
+
+    # N=512 at its recommended 3-bit precision: clean round-trip
+    assert design.recommend_rlwe(3) is RLWE128_512_2
+    rsk2 = RLWESecretKey.new(RLWE128_512_2, secret_seed=7)
+    bsk2 = LWEBSK.new(sk, rsk2, 7, 3, mask_seed=8, noise_seed=9)
+    enc3 = Encoder.new(0.0, 7.0, 3, 1)
+    vals3 = np.arange(8.0)
+    ct3 = hlwe.LWE.encode_encrypt(sk, vals3, enc3, mask_seed=10,
+                                  noise_seed=11)
+    dec3 = ct3.bootstrap(bsk2).decrypt_decode_round(
+        rsk2.to_lwe_secret_key())
+    np.testing.assert_array_equal(dec3, vals3)
