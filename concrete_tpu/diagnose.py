@@ -1,0 +1,105 @@
+"""Deployment diagnostics: `python -m concrete_tpu.diagnose`.
+
+A serving process that cannot reach its accelerator should fail fast and
+say why. On remote-attached TPUs (PJRT plugins that proxy to a pooled
+chip) the failure mode is nasty: a lost or wedged device claim makes
+client creation block FOREVER inside ``jax.devices()`` — observed for
+hours after a killed remote compile on a single-tenant chip. This module
+probes each layer with a bounded timeout and reports where initialization
+stops, so operators see "backend init blocked (wedged claim?)" instead of
+a silent hang.
+
+Checks, in order:
+1. import + version report (jax, jaxlib, numpy, this package);
+2. backend init (``jax.devices()``) under a timeout, in a thread;
+3. a tiny matmul round trip (forced host pull — ``block_until_ready`` can
+   return at enqueue time on some remote platforms);
+4. backend classification: TPU / CPU / other, MXU path eligibility.
+
+Exit code 0 = compute path live; 1 = backend init or execution failed.
+
+Reference analog: none (the reference's CPU backend cannot be absent);
+this is the deployment counterpart of its build-time feature detection
+(concrete-csprng x86_64 AES-NI gating, concrete-csprng/src/lib.rs).
+"""
+
+from __future__ import annotations
+
+import sys
+import threading
+import time
+
+
+def _bounded(tag: str, fn, timeout_s: float):
+    """Run fn() in a daemon thread; return (status, value_or_error)."""
+    out: dict = {}
+
+    def run():
+        try:
+            out["value"] = fn()
+        except Exception as e:  # noqa: BLE001 — diagnostic surface
+            out["error"] = f"{type(e).__name__}: {e}"
+
+    th = threading.Thread(target=run, daemon=True)
+    t0 = time.perf_counter()
+    th.start()
+    th.join(timeout_s)
+    dt = time.perf_counter() - t0
+    if th.is_alive():
+        return "BLOCKED", f"still blocked after {timeout_s:.0f}s"
+    if "error" in out:
+        return "ERROR", out["error"]
+    return "ok", (out["value"], dt)
+
+
+def main(timeout_s: float = 120.0) -> int:
+    import numpy as np
+
+    import concrete_tpu
+
+    print(f"concrete_tpu {concrete_tpu.__version__}  "
+          f"python {sys.version.split()[0]}  numpy {np.__version__}")
+    import jax
+    import jaxlib
+
+    print(f"jax {jax.__version__}  jaxlib {jaxlib.__version__}")
+
+    status, res = _bounded("devices", jax.devices, timeout_s)
+    if status != "ok":
+        print(f"backend init: {status} — {res}")
+        if status == "BLOCKED":
+            print("  likely a wedged/lost remote device claim (single-tenant"
+                  " chips stay wedged while an orphaned compile drains);"
+                  " retry later or from a fresh pool session")
+        return 1
+    devices, dt = res
+    print(f"backend init: ok ({dt:.1f}s) — {devices}")
+    kind = getattr(devices[0], "device_kind", "?")
+    plat = jax.default_backend()
+    print(f"device_kind: {kind}  platform: {plat}")
+
+    import jax.numpy as jnp
+
+    def matmul():
+        x = jnp.ones((512, 512), jnp.bfloat16)
+        y = jax.jit(lambda a: a @ a)(x)
+        return float(np.asarray(y)[0, 0])  # forced host round trip
+
+    status, res = _bounded("matmul", matmul, timeout_s)
+    if status != "ok":
+        print(f"matmul round trip: {status} — {res}")
+        return 1
+    val, dt = res
+    print(f"matmul round trip: ok ({dt:.1f}s, got {val})")
+
+    from concrete_tpu.core import bootstrap_mxu as bsx
+
+    on_tpu = bsx._on_tpu()
+    print(f"MXU toeplitz path eligible: {on_tpu} "
+          f"({'production TPU path' if on_tpu else 'NTT fallback backend'})")
+    return 0
+
+
+if __name__ == "__main__":
+    t = float(sys.argv[1]) if len(sys.argv) > 1 else 120.0
+    sys.exit(main(t))
