@@ -31,7 +31,16 @@ import time
 
 
 def _bounded(tag: str, fn, timeout_s: float):
-    """Run fn() in a daemon thread; return (status, value_or_error)."""
+    """Run fn() in a daemon thread; return (status, value_or_error).
+
+    >>> _bounded("ok", lambda: 7, 5.0)[0]
+    'ok'
+    >>> _bounded("err", lambda: 1 / 0, 5.0)
+    ('ERROR', 'ZeroDivisionError: division by zero')
+    >>> import time
+    >>> _bounded("hang", lambda: time.sleep(60), 0.05)[0]
+    'BLOCKED'
+    """
     out: dict = {}
 
     def run():
