@@ -386,12 +386,13 @@ def test_rotdig_recombine_pallas_interpret_matches_xla(ks1, n, bl, l, drop):
 
 
 @pytest.mark.parametrize("ks1,n,bl,l,n_sub", [(3, 128, 8, 2, 2),
-                                              (2, 64, 12, 2, 2)])
+                                              (2, 64, 12, 2, 2),
+                                              (2, 64, 15, 2, 3)])
 def test_rotdig_pallas_nsub2_interpret_matches_xla(ks1, n, bl, l, n_sub):
     """The rotation+digit kernel with sub-digit splitting (n_sub=2 — the
-    DEFAULT_PARAMETERS base_log=8 regime) must be bit-identical to
-    negacyclic_monomial_mul + _digit_matrix, including the balanced 7-bit
-    chunk order (lev, sub MSB-first, ki)."""
+    DEFAULT_PARAMETERS base_log=8 regime — and the general n_sub=3 chunk
+    loop) must be bit-identical to negacyclic_monomial_mul + _digit_matrix,
+    including the balanced 7-bit chunk order (lev, sub MSB-first, ki)."""
     from concrete_tpu.math import polynomial
 
     plan = bsx.MxuPlan(
