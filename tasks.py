@@ -40,6 +40,13 @@ def main():
     if cmd == "check":
         sys.exit(run([sys.executable, "-m", "compileall", "-q", "concrete_tpu"]))
     if cmd == "cov":
+        try:
+            import pytest_cov  # noqa: F401 — availability probe only
+        except ImportError:
+            print("pytest-cov is not installed in this environment; "
+                  "run `python tasks.py test` for the plain suite",
+                  file=sys.stderr)
+            sys.exit(2)
         sys.exit(run([sys.executable, "-m", "pytest", "tests/", "-q",
                       "--cov=concrete_tpu", "--cov-report=term"]))
     print(f"unknown task {cmd}", file=sys.stderr)
