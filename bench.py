@@ -95,24 +95,13 @@ def _require_live_backend(timeout_s: float = 300.0):
     creation block FOREVER inside jax.devices() — observed 2026-08-17 for
     >3 h after a killed remote compile — which would hang the whole bench
     run; a bounded probe turns that into an actionable error instead."""
-    import threading
+    import jax
 
-    out = {}
+    from concrete_tpu.diagnose import _bounded
 
-    def probe():
-        import jax
-
-        try:
-            out["devices"] = jax.devices()
-        except Exception as e:  # noqa: BLE001 — report, don't hang
-            out["error"] = repr(e)
-
-    th = threading.Thread(target=probe, daemon=True)
-    th.start()
-    th.join(timeout_s)
-    if th.is_alive() or "error" in out:
-        why = out.get("error", f"backend init still blocked after "
-                               f"{timeout_s:.0f}s (wedged TPU claim?)")
+    status, res = _bounded(jax.devices, timeout_s)
+    if status != "ok":
+        why = (f"{res} (wedged TPU claim?)" if status == "BLOCKED" else res)
         print(json.dumps({
             "metric": "gate_bootstraps_per_s_per_chip_n1024",
             "value": 0,
@@ -121,7 +110,8 @@ def _require_live_backend(timeout_s: float = 300.0):
             "error": f"accelerator unavailable: {why}",
         }))
         sys.exit(1)
-    print(f"backend: {out['devices']}", file=sys.stderr)
+    devices, _dt = res
+    print(f"backend: {devices}", file=sys.stderr)
 
 
 def main():

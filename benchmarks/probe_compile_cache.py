@@ -10,21 +10,30 @@ health afterwards.
 
 Usage:  python benchmarks/probe_compile_cache.py [cache_dir]
 Run it TWICE: the first run populates, the second measures the hit.
+
+NOTE the package itself already configures a persistent cache
+(concrete_tpu/__init__.py, CONCRETE_TPU_CACHE_DIR, default .jax_cache/) —
+so this probe must pin the dir via that env var BEFORE the package import,
+or the package config overwrites it and the cold/warm answer measures the
+wrong cache. The open question this probe answers is whether the REMOTE
+platform's executables serialize at all (the rotdig kernel's 30-550 s
+first compile has been observed per process with the default cache dir
+populated, suggesting the Mosaic compile happens server-side at first
+dispatch, outside the XLA cache).
 """
 
+import os
 import sys
 import time
 
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+os.environ["CONCRETE_TPU_CACHE_DIR"] = (
+    sys.argv[1] if len(sys.argv) > 1 else "/tmp/concrete_tpu_cache")
+
 
 def main():
-    cache_dir = sys.argv[1] if len(sys.argv) > 1 else "/tmp/concrete_tpu_cache"
-
     import jax
-
-    jax.config.update("jax_compilation_cache_dir", cache_dir)
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
-
     import jax.numpy as jnp
     import numpy as np
 
@@ -32,8 +41,9 @@ def main():
     from concrete_tpu.core import bootstrap_mxu as bsx
     from concrete_tpu.params import TPU128_PARAMETERS
 
+    print(f"cache dir: {jax.config.jax_compilation_cache_dir}", flush=True)
     cfg = bs.ServerConfig.from_boolean_parameters(TPU128_PARAMETERS)
-    plan = bsx.MxuPlan.for_config(cfg)
+    plan = bsx.MxuPlan.from_config(cfg)
     ks1, N, B = plan.glwe_size, plan.polynomial_size, 2048
     rng = np.random.default_rng(0)
     acc = jnp.asarray(rng.integers(0, 1 << 32, (ks1, B, N), dtype=np.uint32))

@@ -348,6 +348,29 @@ def _kernel_barrel_rotate(x, ah, n: int):
     return rot
 
 
+def _split_subdigits(digit, n_sub: int):
+    """Balanced SUB_CHUNK_BITS-wide chunks of a signed gadget digit,
+    returned MSB-first: d = sum_j 2^(7j) e_j with |e_j| <= 64, so every
+    chunk fits a signed byte for the MXU. The single shared definition of
+    the (lev, sub, ki) sub-digit order — used by both the XLA path
+    (_digit_matrix) and the Pallas kernel (_kernel_emit_digits), which must
+    stay bit-identical. `digit` is any i32 jnp array; traced values work
+    inside kernels."""
+    if n_sub == 1:
+        return (digit,)
+    w = MxuPlan.SUB_CHUNK_BITS
+    half = np.int32(1 << (w - 1))
+    msk = np.int32((1 << w) - 1)
+    rem = digit
+    chunks = []
+    for _ in range(n_sub - 1):
+        e = ((rem + half) & msk) - half   # balanced low chunk in [-64, 64)
+        rem = (rem - e) >> np.int32(w)
+        chunks.append(e)
+    chunks.append(rem)                    # |rem| <= 64 by the n_sub choice
+    return tuple(reversed(chunks))        # MSB-first
+
+
 def _kernel_emit_digits(o_ref, diff, ki: int, ks1: int, n: int,
                         base_log: int, level: int, col_base: int = 0,
                         n_sub: int = 1):
@@ -375,23 +398,7 @@ def _kernel_emit_digits(o_ref, diff, ki: int, ks1: int, n: int,
         # decompose_levels' bitcast + _digit_matrix's cast)
         digit = jax.lax.bitcast_convert_type(digit, jnp.int32)
         lev = level - 1 - step
-        if n_sub == 1:
-            subs = (digit,)
-        else:
-            # LSB-first balanced chunks d = sum_j 2^{7j} e_j, |e_j| <= 64,
-            # emitted MSB-first (mirrors _digit_matrix exactly)
-            w = MxuPlan.SUB_CHUNK_BITS
-            half = np.int32(1 << (w - 1))
-            msk = np.int32((1 << w) - 1)
-            rem = digit
-            chunks = []
-            for _ in range(n_sub - 1):
-                e = ((rem + half) & msk) - half
-                rem = (rem - e) >> np.int32(w)
-                chunks.append(e)
-            chunks.append(rem)
-            subs = tuple(reversed(chunks))
-        for sub, dsub in enumerate(subs):
+        for sub, dsub in enumerate(_split_subdigits(digit, n_sub)):
             c0 = col_base + ((lev * n_sub + sub) * ks1 + ki) * n
             o_ref[:, c0:c0 + n] = dsub.astype(jnp.int8)
 
@@ -688,23 +695,7 @@ def _digit_matrix(plan: MxuPlan, diff):
     parts = []
     for lev in range(plan.level):
         d = digits[..., lev]                       # [k+1, B, N]
-        if plan.n_sub == 1:
-            subs = (d,)
-        else:
-            # LSB-first balanced 7-bit chunks, emitted MSB-first to match the
-            # (lev, sub, ki) ring order: d = sum_j 2^{7j} e_j, |e_j| <= 64
-            w = MxuPlan.SUB_CHUNK_BITS
-            half = np.int32(1 << (w - 1))
-            msk = np.int32((1 << w) - 1)
-            rem = d
-            chunks = []
-            for _ in range(plan.n_sub - 1):
-                e = ((rem + half) & msk) - half
-                rem = (rem - e) >> np.int32(w)
-                chunks.append(e)
-            chunks.append(rem)                     # |rem| <= 64 by n_sub choice
-            subs = tuple(reversed(chunks))         # MSB-first
-        for dsub in subs:
+        for dsub in _split_subdigits(d, plan.n_sub):
             for ki in range(ks1):
                 parts.append(dsub[ki].astype(jnp.int8))   # [B, N]
     return jnp.concatenate(parts, axis=1)                 # [B, R*N]

@@ -136,11 +136,28 @@ def gate_error_log2(p: BooleanParameters, *, level: int | None = None,
 
 
 def _erfc_tail_x(target_log2: float) -> float:
-    """x with erfc(x) ~= 2^target_log2 (upper tail inverse, 1% grid)."""
-    x = math.sqrt(-target_log2 * math.log(2.0))
-    while math.erfc(x) > 2.0 ** target_log2:
-        x *= 1.01
-    return x
+    """x with erfc(x) = 2^target_log2 (upper-tail inverse, bisection).
+
+    erfc is monotone decreasing and the Chernoff guess
+    x0 = sqrt(-target*ln2) always satisfies erfc(x0) <= 2^target (the bound
+    erfc(x) <= exp(-x^2)), so the root lies in [0, x0]; bisect to ~1e-12.
+    Returns the hi end, i.e. erfc(result) <= 2^target (conservative).
+
+    >>> import math
+    >>> round(_erfc_tail_x(-13.0), 4)   # exact inverse, not the guess 3.0018
+    2.7167
+    >>> math.erfc(_erfc_tail_x(-25.0)) <= 2.0 ** -25.0
+    True
+    """
+    target = 2.0 ** target_log2
+    lo, hi = 0.0, math.sqrt(-target_log2 * math.log(2.0)) + 1e-9
+    for _ in range(60):
+        mid = (lo + hi) / 2.0
+        if math.erfc(mid) > target:
+            lo = mid
+        else:
+            hi = mid
+    return hi
 
 
 def max_bootstrap_precision(polynomial_size: int, lwe_dimension: int,
@@ -290,9 +307,7 @@ def search(target_err_log2: float = -25.0, security: int = 128,
     # the total pre-decision noise budget at the target error: sigma such
     # that erfc(margin/(sigma sqrt 2)) = 2^target; grant the keyswitch ~15%
     # of the variance (it enters doubled — two gate inputs)
-    x = math.sqrt(-target_err_log2 * math.log(2.0))  # erfc tail inverse appx
-    while math.erfc(x) > 2.0 ** target_err_log2:
-        x *= 1.01
+    x = _erfc_tail_x(target_err_log2)
     sigma_total = (1.0 / 8.0) / (x * math.sqrt(2.0))
     ks_var_budget = sigma_total ** 2 * 0.15 / 2.0
     out = []

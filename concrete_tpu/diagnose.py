@@ -30,15 +30,15 @@ import threading
 import time
 
 
-def _bounded(tag: str, fn, timeout_s: float):
+def _bounded(fn, timeout_s: float):
     """Run fn() in a daemon thread; return (status, value_or_error).
 
-    >>> _bounded("ok", lambda: 7, 5.0)[0]
+    >>> _bounded(lambda: 7, 5.0)[0]
     'ok'
-    >>> _bounded("err", lambda: 1 / 0, 5.0)
+    >>> _bounded(lambda: 1 / 0, 5.0)
     ('ERROR', 'ZeroDivisionError: division by zero')
     >>> import time
-    >>> _bounded("hang", lambda: time.sleep(60), 0.05)[0]
+    >>> _bounded(lambda: time.sleep(60), 0.05)[0]
     'BLOCKED'
     """
     out: dict = {}
@@ -73,7 +73,7 @@ def main(timeout_s: float = 120.0) -> int:
 
     print(f"jax {jax.__version__}  jaxlib {jaxlib.__version__}")
 
-    status, res = _bounded("devices", jax.devices, timeout_s)
+    status, res = _bounded(jax.devices, timeout_s)
     if status != "ok":
         print(f"backend init: {status} — {res}")
         if status == "BLOCKED":
@@ -94,7 +94,7 @@ def main(timeout_s: float = 120.0) -> int:
         y = jax.jit(lambda a: a @ a)(x)
         return float(np.asarray(y)[0, 0])  # forced host round trip
 
-    status, res = _bounded("matmul", matmul, timeout_s)
+    status, res = _bounded(matmul, timeout_s)
     if status != "ok":
         print(f"matmul round trip: {status} — {res}")
         return 1

@@ -135,7 +135,7 @@ def test_max_bootstrap_precision_model():
     assert got == {256: 2, 512: 3, 1024: 4, 2048: 5, 4096: 6}
     # smaller input LWE dimension shrinks the rounding noise -> more bits
     assert (design.max_bootstrap_precision(256, 256)
-            > design.max_bootstrap_precision(256, 630) - 1)
+            > design.max_bootstrap_precision(256, 630))
 
 
 def test_recommend_rlwe_prefers_small_n_when_feasible():
