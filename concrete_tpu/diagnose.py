@@ -18,6 +18,12 @@ Checks, in order:
 
 Exit code 0 = compute path live; 1 = backend init or execution failed.
 
+``python -m concrete_tpu.diagnose wait [max_wait_s]`` polls instead of
+reporting once: fresh-subprocess probes (a blocked PJRT init never
+unblocks within a process) every 2 minutes until the accelerator answers
+or the budget runs out — the operator tool for sitting out a wedged-claim
+drain.
+
 Reference analog: none (the reference's CPU backend cannot be absent);
 this is the deployment counterpart of its build-time feature detection
 (concrete-csprng x86_64 AES-NI gating, concrete-csprng/src/lib.rs).
@@ -109,6 +115,53 @@ def main(timeout_s: float = 120.0) -> int:
     return 0
 
 
+def wait(max_wait_s: float = 3600.0, probe_timeout_s: float = 120.0,
+         interval_s: float = 120.0) -> int:
+    """Poll until the accelerator answers; exit 0 the moment it does.
+
+    Once a process's PJRT client creation has blocked, it stays blocked for
+    that process's lifetime — so every probe must run in a FRESH subprocess.
+    Useful on single-tenant remote chips, which stay wedged while an
+    orphaned compile drains (observed minutes to hours, scaling with how
+    long the killed compile had been running).
+    """
+    import subprocess
+    import time as _time
+
+    probe_src = (
+        "import jax, jax.numpy as jnp, numpy as np;"
+        "x = jnp.ones((256, 256), jnp.bfloat16);"
+        "print('LIVE', np.asarray(jnp.dot(x, x))[0, 0],"
+        " jax.devices()[0].device_kind)"
+    )
+    deadline = _time.monotonic() + max_wait_s
+    attempt = 0
+    while True:
+        attempt += 1
+        try:
+            r = subprocess.run(
+                [sys.executable, "-c", probe_src], capture_output=True,
+                text=True, timeout=probe_timeout_s)
+            if r.returncode == 0 and "LIVE" in r.stdout:
+                print(f"accelerator LIVE (attempt {attempt}): "
+                      f"{r.stdout.strip().splitlines()[-1]}")
+                return 0
+            tail = (r.stderr or r.stdout).strip().splitlines()
+            print(f"attempt {attempt}: probe failed"
+                  f" ({tail[-1][:120] if tail else 'no output'})", flush=True)
+        except subprocess.TimeoutExpired:
+            print(f"attempt {attempt}: still blocked after"
+                  f" {probe_timeout_s:.0f}s (wedged claim draining?)",
+                  flush=True)
+        if _time.monotonic() + interval_s > deadline:
+            print(f"accelerator still unavailable after {max_wait_s:.0f}s")
+            return 1
+        _time.sleep(interval_s)
+
+
 if __name__ == "__main__":
+    if len(sys.argv) > 1 and sys.argv[1] == "wait":
+        mw = float(sys.argv[2]) if len(sys.argv) > 2 else 3600.0
+        sys.exit(wait(mw))
     t = float(sys.argv[1]) if len(sys.argv) > 1 else 120.0
     sys.exit(main(t))
