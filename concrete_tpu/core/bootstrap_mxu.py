@@ -701,6 +701,46 @@ def _digit_matrix(plan: MxuPlan, diff):
     return jnp.concatenate(parts, axis=1)                 # [B, R*N]
 
 
+def _recombine_u64_pair(plan: MxuPlan, s):
+    """u64 limb recombination on native u32 lanes: each 64-bit output rides
+    as an explicit (lo, hi) u32 word pair with a hand-rolled carry, so no
+    i64 lane math is emitted (v5e emulates i64 AND f64 lanes; the earlier
+    f64-carry variant lost for exactly that reason — this one uses only
+    u32 shifts/adds/compares).
+
+    For byte limb j at shift t = 8*(limb_drop + j), the 64-bit contribution
+    of the signed i32 partial sum sm is sext64(sm) << t:
+      t < 32:  lo += u32(sm) << t;  hi += sra(sm, max(32-t, 31)) + carry
+      t >= 32: hi += u32(sm) << (t - 32)            (no carry possible)
+    with carry = (lo_new < addend) in u32 compare. All adds wrap mod 2^32,
+    which is exactly the mod-2^64 arithmetic of the (lo, hi) pair.
+    Bit-identical to the i64 form (tests/test_bootstrap_mxu.py)."""
+    N, ks1, lu = plan.polynomial_size, plan.glwe_size, plan.limbs_used
+    outs = []
+    for kj in range(ks1):
+        base = kj * lu * N
+        lo = jnp.zeros(s.shape[:1] + (N,), jnp.uint32)
+        hi = jnp.zeros(s.shape[:1] + (N,), jnp.uint32)
+        for j in range(lu):
+            t = 8 * (plan.limb_drop + j)
+            sm = s[:, base + j * N: base + (j + 1) * N]       # i32
+            smu = jax.lax.bitcast_convert_type(sm, jnp.uint32)
+            if t < 32:
+                c_lo = smu << jnp.uint32(t)
+                sh = 31 if t == 0 else 32 - t                  # arith shift
+                c_hi = jax.lax.bitcast_convert_type(
+                    sm >> jnp.int32(sh), jnp.uint32)
+                lo_new = lo + c_lo
+                carry = (lo_new < c_lo).astype(jnp.uint32)
+                lo = lo_new
+                hi = hi + c_hi + carry
+            else:
+                hi = hi + (smu << jnp.uint32(t - 32))
+        outs.append(jnp.stack([lo, hi], axis=-1))              # [B, N, 2]
+    pairs = jnp.stack(outs, axis=0)                            # [k+1, B, N, 2]
+    return jax.lax.bitcast_convert_type(pairs, jnp.uint64)    # little-endian
+
+
 def recombine_limb_planes(plan: MxuPlan, s):
     """[B, (kj, m, c)] i32 dot output -> [k+1, B, N] torus values.
 
@@ -712,7 +752,13 @@ def recombine_limb_planes(plan: MxuPlan, s):
 
     (A u64 variant assembling (lo32, hi32) word pairs with an exact f64
     carry was measured SLOWER on v5e — f64 lanes are emulated there just
-    like i64 — so the straightforward i64 form stays.)"""
+    like i64. The u32-pair carry form is CONCRETE_TPU_RECOMB64=pair,
+    pending on-TPU measurement.)"""
+    if plan.bits == 64:
+        import os
+
+        if os.environ.get("CONCRETE_TPU_RECOMB64", "i64") == "pair":
+            return _recombine_u64_pair(plan, s)
     N, ks1, lu = plan.polynomial_size, plan.glwe_size, plan.limbs_used
     acc_t = jnp.int32 if plan.bits == 32 else jnp.int64
     out_t = jnp.uint32 if plan.bits == 32 else jnp.uint64

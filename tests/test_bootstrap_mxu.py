@@ -460,3 +460,27 @@ def test_rotdig_recombine_pallas1_interpret_matches_xla(ks1, n, bl, l, drop):
     acc_new = np.asarray(bsx.limbs_to_acc(accl_new, ks1, n))
     np.testing.assert_array_equal(acc_new, acc_new_want)
     np.testing.assert_array_equal(np.asarray(d8), d8_want)
+
+
+@pytest.mark.parametrize("drop", [0, 2])
+def test_recombine_u64_pair_matches_i64(drop):
+    """The u32-pair carry recombine (CONCRETE_TPU_RECOMB64=pair) must be
+    bit-identical to the emulated-i64 form over the full i32 dot-output
+    range, including sign-extension of every limb and carry chains across
+    the 32-bit word boundary."""
+    plan = bsx.MxuPlan(
+        lwe_dimension=4, glwe_size=3, polynomial_size=64, base_log=7,
+        level=2, n_sub=1, ks_base_log=2, ks_level=3, bits=64,
+        limb_drop=drop)
+    rng = np.random.default_rng(29)
+    s = rng.integers(-(1 << 31), 1 << 31,
+                     size=(16, 3 * plan.limbs_used * 64)).astype(np.int32)
+    # adversarial rows: all-max, all-min, alternating-sign extremes
+    s[0, :] = np.int32(2**31 - 1)
+    s[1, :] = np.int32(-(2**31))
+    s[2, ::2], s[2, 1::2] = np.int32(2**31 - 1), np.int32(-(2**31))
+    s = jnp.asarray(s)
+    want = np.asarray(bsx.recombine_limb_planes(plan, s))
+    assert want.dtype == np.uint64
+    got = np.asarray(bsx._recombine_u64_pair(plan, s))
+    np.testing.assert_array_equal(got, want)
