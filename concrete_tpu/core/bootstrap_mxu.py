@@ -381,12 +381,23 @@ def _kernel_emit_digits(o_ref, diff, ki: int, ks1: int, n: int,
     level-l first; for n_sub > 1 each digit splits into balanced 7-bit
     chunks emitted MSB-first (the _digit_matrix sub-digit order)."""
     non_rep = 32 - base_log * level
-    mask = np.uint32((1 << base_log) - 1)
-    half_bits = np.uint32(base_log - 1)
     if non_rep:
         msb = (diff >> np.uint32(non_rep - 1)) & np.uint32(1)
         diff = ((diff >> np.uint32(non_rep)) + msb) << np.uint32(non_rep)
     state = diff >> np.uint32(32 - base_log * level)
+    _kernel_emit_state_digits(o_ref, state, ki, ks1, n, base_log, level,
+                              col_base, n_sub)
+
+
+def _kernel_emit_state_digits(o_ref, state, ki: int, ks1: int, n: int,
+                              base_log: int, level: int, col_base: int = 0,
+                              n_sub: int = 1):
+    """decompose_levels' digit loop on a pre-rounded, pre-shifted u32
+    `state` holding the top base_log*level bits (<= 32 — which is why the
+    u64 kernel can share this loop: after its pair-arithmetic rounding
+    prologue the state fits a u32 lane)."""
+    mask = np.uint32((1 << base_log) - 1)
+    half_bits = np.uint32(base_log - 1)
     for step in range(level):
         res = state & mask
         state = state >> np.uint32(base_log)
@@ -457,6 +468,101 @@ def _rotdig_pallas(ks1: int, n: int, b: int, base_log: int, level: int,
         grid=(n_tiles,),
         in_specs=[
             pl.BlockSpec((ks1, tile, n), lambda t: (0, t, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile, 1), lambda t: (t, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((tile, r_blocks * n), lambda t: (t, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, r_blocks * n), jnp.int8),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )
+
+
+def _pair_neg(lo, hi):
+    """-(x) mod 2^64 on a (lo, hi) u32 word pair: the borrow out of the low
+    word is 1 exactly when lo != 0."""
+    nz = (lo != np.uint32(0)).astype(jnp.uint32)
+    return np.uint32(0) - lo, (np.uint32(0) - hi) - nz
+
+
+def _kernel_barrel_rotate_pair(lo, hi, ah, n: int):
+    """Negacyclic X^ah * x for u64 coefficients carried as two u32 word
+    planes [T, N] inside a Pallas kernel (Mosaic rejects i64 lanes, and on
+    v5e i64 is lane-emulated anyway). Same static slice+concat barrel as
+    _kernel_barrel_rotate; the wrap negation couples the planes through the
+    low-word borrow."""
+    for j in range((2 * n - 1).bit_length()):
+        s = 1 << j
+        if s < n:
+            nl, nh = _pair_neg(lo[:, n - s:], hi[:, n - s:])
+            rl = jnp.concatenate([nl, lo[:, :n - s]], axis=1)
+            rh = jnp.concatenate([nh, hi[:, :n - s]], axis=1)
+        else:                                                # X^N == -1
+            rl, rh = _pair_neg(lo, hi)
+        bit = (ah >> j) & 1
+        lo = jnp.where(bit == 1, rl, lo)
+        hi = jnp.where(bit == 1, rh, hi)
+    return lo, hi
+
+
+@functools.lru_cache(maxsize=None)
+def _rotdig_pallas64(ks1: int, n: int, b: int, base_log: int, level: int,
+                     n_sub: int = 1,
+                     interpret: bool = False, tile: int | None = None):
+    """u64-torus rotation+digit kernel on u32 word-pair planes:
+    acc2 [2, k+1, B, N] u32 (plane 0 = low words, 1 = high) + a_hat [B, 1]
+    i32 -> digit matrix [B, R*N] i8, R = level*n_sub*(k+1).
+
+    Requires base_log*level <= 32: the closest_representable rounding then
+    reads only the HIGH word (plus the low word's borrow and, at exactly 32,
+    its top bit), and the post-shift digit state fits a single u32 lane —
+    so the whole decompose loop is shared verbatim with the u32 kernel
+    (_kernel_emit_state_digits). Configs beyond 32 prefix bits stay on the
+    XLA path. Bit-identical to negacyclic_monomial_mul + _digit_matrix on
+    the u64 torus (tests/test_bootstrap_mxu.py)."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    prefix = base_log * level
+    if prefix > 32:
+        raise NotImplementedError(
+            f"u64 rotdig kernel needs base_log*level <= 32 prefix bits "
+            f"(got {prefix}); the XLA path handles wider prefixes")
+    if tile is None:
+        tile = min(b, 512)
+        while b % tile:
+            tile //= 2
+    n_tiles = b // tile
+    r_blocks = level * n_sub * ks1
+    non_rep = 64 - prefix                                    # >= 32
+
+    def kernel(acc_ref, ah_ref, o_ref):
+        ah = ah_ref[:, :1]                                   # [T, 1] i32
+        for ki in range(ks1):
+            a_lo, a_hi = acc_ref[0, ki], acc_ref[1, ki]      # [T, N] u32
+            r_lo, r_hi = _kernel_barrel_rotate_pair(a_lo, a_hi, ah, n)
+            # diff = rot - acc mod 2^64 on pairs
+            d_lo = r_lo - a_lo
+            borrow = (r_lo < a_lo).astype(jnp.uint32)
+            d_hi = r_hi - a_hi - borrow
+            # closest_representable + top-prefix shift, u32-state form
+            if non_rep == 32:
+                state = d_hi + (d_lo >> np.uint32(31))       # wrap == mod 2^32
+            else:
+                msb = (d_hi >> np.uint32(non_rep - 33)) & np.uint32(1)
+                state = ((d_hi >> np.uint32(non_rep - 32)) + msb) \
+                    & np.uint32((1 << prefix) - 1)
+            _kernel_emit_state_digits(o_ref, state, ki, ks1, n, base_log,
+                                      level, n_sub=n_sub)
+
+    return pl.pallas_call(
+        kernel,
+        grid=(n_tiles,),
+        in_specs=[
+            pl.BlockSpec((2, ks1, tile, n), lambda t: (0, 0, t, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((tile, 1), lambda t: (t, 0),
                          memory_space=pltpu.VMEM),
@@ -715,30 +821,63 @@ def _recombine_u64_pair(plan: MxuPlan, s):
     with carry = (lo_new < addend) in u32 compare. All adds wrap mod 2^32,
     which is exactly the mod-2^64 arithmetic of the (lo, hi) pair.
     Bit-identical to the i64 form (tests/test_bootstrap_mxu.py)."""
-    N, ks1, lu = plan.polynomial_size, plan.glwe_size, plan.limbs_used
+    N, ks1 = plan.polynomial_size, plan.glwe_size
     outs = []
     for kj in range(ks1):
-        base = kj * lu * N
-        lo = jnp.zeros(s.shape[:1] + (N,), jnp.uint32)
-        hi = jnp.zeros(s.shape[:1] + (N,), jnp.uint32)
-        for j in range(lu):
-            t = 8 * (plan.limb_drop + j)
-            sm = s[:, base + j * N: base + (j + 1) * N]       # i32
-            smu = jax.lax.bitcast_convert_type(sm, jnp.uint32)
-            if t < 32:
-                c_lo = smu << jnp.uint32(t)
-                sh = 31 if t == 0 else 32 - t                  # arith shift
-                c_hi = jax.lax.bitcast_convert_type(
-                    sm >> jnp.int32(sh), jnp.uint32)
-                lo_new = lo + c_lo
-                carry = (lo_new < c_lo).astype(jnp.uint32)
-                lo = lo_new
-                hi = hi + c_hi + carry
-            else:
-                hi = hi + (smu << jnp.uint32(t - 32))
+        z = jnp.zeros(s.shape[:1] + (N,), jnp.uint32)
+        lo, hi = _pair_add_limbs(plan, z, z, s, kj)
         outs.append(jnp.stack([lo, hi], axis=-1))              # [B, N, 2]
     pairs = jnp.stack(outs, axis=0)                            # [k+1, B, N, 2]
     return jax.lax.bitcast_convert_type(pairs, jnp.uint64)    # little-endian
+
+
+def _pair_add_limbs(plan: MxuPlan, lo, hi, s, kj: int):
+    """(lo, hi) += recombine(limb planes of polynomial kj in s) mod 2^64,
+    on u32 lanes with explicit carries (see _recombine_u64_pair)."""
+    N, lu = plan.polynomial_size, plan.limbs_used
+    base = kj * lu * N
+    for j in range(lu):
+        t = 8 * (plan.limb_drop + j)
+        sm = s[:, base + j * N: base + (j + 1) * N]            # i32
+        smu = jax.lax.bitcast_convert_type(sm, jnp.uint32)
+        if t < 32:
+            c_lo = smu << jnp.uint32(t)
+            sh = 31 if t == 0 else 32 - t                      # arith shift
+            c_hi = jax.lax.bitcast_convert_type(
+                sm >> jnp.int32(sh), jnp.uint32)
+            lo_new = lo + c_lo
+            carry = (lo_new < c_lo).astype(jnp.uint32)
+            lo = lo_new
+            hi = hi + c_hi + carry
+        else:
+            hi = hi + (smu << jnp.uint32(t - 32))
+    return lo, hi
+
+
+def _accumulate_u64_planes(plan: MxuPlan, planes, s):
+    """planes [2, k+1, B, N] u32 (word-pair accumulator of the i64-free u64
+    blind rotation) += recombine(s) mod 2^64. Pure u32 lane math; the plane
+    layout feeds _rotdig_pallas64 directly, so the whole u64 CMux scan
+    carries no i64 op."""
+    ks1 = plan.glwe_size
+    los, his = [], []
+    for kj in range(ks1):
+        lo, hi = _pair_add_limbs(plan, planes[0, kj], planes[1, kj], s, kj)
+        los.append(lo)
+        his.append(hi)
+    return jnp.stack([jnp.stack(los), jnp.stack(his)], axis=0)
+
+
+def _acc_u64_to_planes(acc):
+    """[k+1, B, N] u64 -> [2, k+1, B, N] u32 word planes (0=lo, 1=hi)."""
+    pairs = jax.lax.bitcast_convert_type(acc, jnp.uint32)     # [..., 2]
+    return jnp.moveaxis(pairs, -1, 0)
+
+
+def _planes_to_acc_u64(planes):
+    """Inverse of _acc_u64_to_planes."""
+    pairs = jnp.moveaxis(planes, 0, -1)                       # [..., 2]
+    return jax.lax.bitcast_convert_type(pairs, jnp.uint64)
 
 
 def recombine_limb_planes(plan: MxuPlan, s):
@@ -926,6 +1065,10 @@ def blind_rotate_mxu(cfg: ServerConfig, bsk_rings, lut, lwe, *,
         acc = acc + recombine_limb_planes(plan, s_last)
         return jnp.moveaxis(acc, 0, 1).reshape(lead + (ks1, N))
 
+    if _rotdig64_kernel_active(plan) and not use_fused:
+        return _blind_rotate_u64_planes(
+            plan, bsk_rings, acc, a_hats, unroll, lead)
+
     def step(acc, xs):
         rings_i, a_hat = xs                                  # [R,k+1,2N], [B]
         d8 = rotdig(plan, acc, a_hat)
@@ -940,6 +1083,50 @@ def blind_rotate_mxu(cfg: ServerConfig, bsk_rings, lut, lwe, *,
 
     acc, _ = jax.lax.scan(step, acc, (bsk_rings, a_hats), unroll=unroll)
     return jnp.moveaxis(acc, 0, 1).reshape(lead + (ks1, N))
+
+
+def _rotdig64_kernel_active(plan: MxuPlan) -> bool:
+    import os
+
+    # opt-in until the on-TPU Mosaic compile is validated at the u64 gate
+    # shapes (an unvalidated kernel-in-scan compile on the default path
+    # could wedge the single-tenant chip — TODO.md); base_log*level <= 32
+    # is the kernel's u32-state precondition (_rotdig_pallas64).
+    return (plan.bits == 64 and _on_tpu()
+            and plan.base_log * plan.level <= 32
+            and os.environ.get("CONCRETE_TPU_ROTDIG64", "0") == "1")
+
+
+def _blind_rotate_u64_planes(plan: MxuPlan, bsk_rings, acc, a_hats,
+                             unroll: int, lead, interpret: bool = False):
+    """The u64 CMux scan with NO i64 lane ops: the accumulator rides as
+    [2, k+1, B, N] u32 word planes, the rotation+digit stage runs in the
+    pair-plane Pallas kernel (_rotdig_pallas64) and the limb recombination
+    accumulates with explicit u32 carries (_accumulate_u64_planes). On v5e
+    both i64 and f64 lanes are emulated, so the XLA u64 form pays ~2x lane
+    ops on every VPU stage; this path converts to planes once, scans, and
+    converts back once. Bit-identical to the default path
+    (tests/test_bootstrap_mxu.py, interpreter mode)."""
+    N, ks1 = plan.polynomial_size, plan.glwe_size
+    b = acc.shape[1]
+    with jax.enable_x64(False):
+        kern = _rotdig_pallas64(ks1, N, b, plan.base_log, plan.level,
+                                plan.n_sub, interpret=interpret)
+
+    def step(planes, xs):
+        rings_i, a_hat = xs
+        with jax.enable_x64(False):
+            d8 = kern(planes, a_hat.astype(jnp.int32)[:, None])
+        rhs = build_tables(rings_i, N, plan.n_words, plan.limb_drop)
+        s = jax.lax.dot_general(
+            d8, rhs, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32)
+        return _accumulate_u64_planes(plan, planes, s), None
+
+    planes, _ = jax.lax.scan(
+        step, _acc_u64_to_planes(acc), (bsk_rings, a_hats), unroll=unroll)
+    out = _planes_to_acc_u64(planes)
+    return jnp.moveaxis(out, 0, 1).reshape(lead + (ks1, N))
 
 
 def bootstrap_mxu(cfg: ServerConfig, bsk_rings, lut, lwe):

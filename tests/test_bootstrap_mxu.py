@@ -484,3 +484,78 @@ def test_recombine_u64_pair_matches_i64(drop):
     assert want.dtype == np.uint64
     got = np.asarray(bsx._recombine_u64_pair(plan, s))
     np.testing.assert_array_equal(got, want)
+
+
+@pytest.mark.parametrize("ks1,n,bl,l,n_sub", [(3, 64, 7, 3, 1),
+                                              (2, 128, 10, 3, 2),
+                                              (2, 64, 16, 2, 3)])
+def test_rotdig_pallas64_interpret_matches_xla(ks1, n, bl, l, n_sub):
+    """The u64 pair-plane rotation+digit kernel must be bit-identical to
+    the XLA u64 form (negacyclic_monomial_mul + _digit_matrix), including
+    the borrow-coupled negacyclic negation, the high-word rounding prologue
+    (bl*l < 32) and the nr == 32 edge (bl=16, l=2) where the rounding bit
+    comes from the LOW word."""
+    from concrete_tpu.math import polynomial
+
+    plan = bsx.MxuPlan(
+        lwe_dimension=4, glwe_size=ks1, polynomial_size=n, base_log=bl,
+        level=l, n_sub=n_sub, ks_base_log=2, ks_level=3, bits=64)
+    rng = np.random.default_rng(31)
+    B = 16
+    acc64 = rng.integers(0, 1 << 64, size=(ks1, B, n), dtype=np.uint64)
+    # adversarial coefficients: carry/borrow extremes at the word boundary
+    acc64[0, 0, :4] = [0, 1, 0xFFFF_FFFF, 0x1_0000_0000]
+    acc64[0, 1, :4] = [0xFFFF_FFFF_FFFF_FFFF, 0x8000_0000,
+                      0x7FFF_FFFF_FFFF_FFFF, 0x8000_0000_0000_0000]
+    acc = jnp.asarray(acc64)
+    a_hat = jnp.asarray(
+        np.concatenate([rng.integers(0, 2 * n, size=B - 3),
+                        [0, n, 2 * n - 1]]).astype(np.uint64))
+    rot = polynomial.negacyclic_monomial_mul(acc, a_hat[None, :])
+    want = np.asarray(bsx._digit_matrix(plan, rot - acc))
+    planes = bsx._acc_u64_to_planes(acc)
+    with jax.enable_x64(False):
+        kern = bsx._rotdig_pallas64(ks1, n, B, bl, l, n_sub, interpret=True)
+        got = np.asarray(kern(planes, a_hat.astype(jnp.int32)[:, None]))
+    np.testing.assert_array_equal(got, want)
+
+
+def test_rotdig_pallas64_rejects_wide_prefix():
+    with pytest.raises(NotImplementedError):
+        bsx._rotdig_pallas64(2, 64, 16, 12, 3, 2)  # 36 prefix bits
+
+
+def test_blind_rotate_u64_planes_interpret_matches_default():
+    """The i64-free u64 blind rotation (pair-plane kernel in the scan +
+    carry-explicit accumulate) must match blind_rotate_mxu's default path
+    bit for bit on real bootstrap-key-shaped data."""
+    cfg = bs.ServerConfig(
+        lwe_dimension=6, glwe_dimension=1, polynomial_size=64,
+        pbs_base_log=10, pbs_level=3, ks_base_log=4, ks_level=3, bits=64)
+    plan = bsx.MxuPlan.from_config(cfg)
+    rng = np.random.default_rng(37)
+    B = 8
+    bsk_raw = rng.integers(0, 1 << 64,
+                           size=(cfg.lwe_dimension, cfg.pbs_level,
+                                 cfg.glwe_size, cfg.glwe_size,
+                                 cfg.polynomial_size), dtype=np.uint64)
+    bsk = jnp.asarray(bsx.bsk_to_mxu(bsk_raw, cfg))
+    lut = jnp.asarray(rng.integers(0, 1 << 64,
+                                   size=(cfg.glwe_size, cfg.polynomial_size),
+                                   dtype=np.uint64))
+    lwe = jnp.asarray(rng.integers(0, 1 << 64, size=(B, cfg.lwe_dimension + 1),
+                                   dtype=np.uint64))
+    want = np.asarray(bsx.blind_rotate_mxu(cfg, bsk, lut, lwe))
+
+    b_hat = bsx.pbs_modulus_switch(lwe[..., -1], cfg.polynomial_size, 0, 0)
+    a_hats = jnp.moveaxis(
+        bsx.pbs_modulus_switch(lwe[..., :-1], cfg.polynomial_size, 0, 0),
+        -1, 0)
+    from concrete_tpu.math import polynomial
+    acc = jnp.moveaxis(
+        jnp.broadcast_to(lut[None], (B, cfg.glwe_size, cfg.polynomial_size)),
+        1, 0)
+    acc = polynomial.negacyclic_monomial_div(acc, b_hat[None, :])
+    got = np.asarray(bsx._blind_rotate_u64_planes(
+        plan, bsk, acc, a_hats, 1, (B,), interpret=True))
+    np.testing.assert_array_equal(got, want)
