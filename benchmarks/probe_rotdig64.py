@@ -28,16 +28,26 @@ import numpy as np
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def _setup(N, k, bl=7, l=3, n=630, b=2048):
-    import jax.numpy as jnp
-
+def _cfg(N, k, bl=7, l=3, n=630, b=2048):
     from concrete_tpu.core import bootstrap as bs
     from concrete_tpu.core import bootstrap_mxu as bsx
 
     cfg = bs.ServerConfig(
         lwe_dimension=n, glwe_dimension=k, polynomial_size=N,
         pbs_base_log=bl, pbs_level=l, ks_base_log=4, ks_level=3, bits=64)
-    plan = bsx.MxuPlan.from_config(cfg)
+    print(f"u64 shape: N={N} k={k} bl={bl} l={l} n={n} B={b} "
+          f"(prefix {bl*l} bits)", flush=True)
+    return cfg, bsx.MxuPlan.from_config(cfg)
+
+
+def _setup(N, k, bl=7, l=3, n=630, b=2048):
+    # full tensors only for the pbs/pair stages — the bitid stage must not
+    # spend its timeout-600 budget on a ~100 MB BSK limb-pack it never uses
+    import jax.numpy as jnp
+
+    from concrete_tpu.core import bootstrap_mxu as bsx
+
+    cfg, plan = _cfg(N, k, bl, l, n, b)
     rng = np.random.default_rng(0)
     bsk_raw = rng.integers(0, 1 << 64, size=(n, l, k + 1, k + 1, N),
                            dtype=np.uint64)
@@ -46,8 +56,6 @@ def _setup(N, k, bl=7, l=3, n=630, b=2048):
                                    dtype=np.uint64))
     lwe = jnp.asarray(rng.integers(0, 1 << 64, size=(b, n + 1),
                                    dtype=np.uint64))
-    print(f"u64 shape: N={N} k={k} bl={bl} l={l} n={n} B={b} "
-          f"(prefix {bl*l} bits)", flush=True)
     return cfg, plan, bsk, lut, lwe
 
 
@@ -75,7 +83,7 @@ def stage_bitid(N, k):
     from concrete_tpu.core import bootstrap_mxu as bsx
     from concrete_tpu.math import polynomial
 
-    cfg, plan, _, _, _ = _setup(N, k)
+    cfg, plan = _cfg(N, k)
     ks1, B = plan.glwe_size, 2048
     rng = np.random.default_rng(3)
     acc = jnp.asarray(rng.integers(0, 1 << 64, (ks1, B, N), dtype=np.uint64))

@@ -821,14 +821,10 @@ def _recombine_u64_pair(plan: MxuPlan, s):
     with carry = (lo_new < addend) in u32 compare. All adds wrap mod 2^32,
     which is exactly the mod-2^64 arithmetic of the (lo, hi) pair.
     Bit-identical to the i64 form (tests/test_bootstrap_mxu.py)."""
-    N, ks1 = plan.polynomial_size, plan.glwe_size
-    outs = []
-    for kj in range(ks1):
-        z = jnp.zeros(s.shape[:1] + (N,), jnp.uint32)
-        lo, hi = _pair_add_limbs(plan, z, z, s, kj)
-        outs.append(jnp.stack([lo, hi], axis=-1))              # [B, N, 2]
-    pairs = jnp.stack(outs, axis=0)                            # [k+1, B, N, 2]
-    return jax.lax.bitcast_convert_type(pairs, jnp.uint64)    # little-endian
+    zero = jnp.zeros(
+        (2, plan.glwe_size) + s.shape[:1] + (plan.polynomial_size,),
+        jnp.uint32)
+    return _planes_to_acc_u64(_accumulate_u64_planes(plan, zero, s))
 
 
 def _pair_add_limbs(plan: MxuPlan, lo, hi, s, kj: int):

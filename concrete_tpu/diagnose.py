@@ -116,7 +116,7 @@ def main(timeout_s: float = 120.0) -> int:
 
 
 def wait(max_wait_s: float = 3600.0, probe_timeout_s: float = 120.0,
-         interval_s: float = 120.0) -> int:
+         interval_s: float = 120.0, allow_cpu: bool = False) -> int:
     """Poll until the accelerator answers; exit 0 the moment it does.
 
     Once a process's PJRT client creation has blocked, it stays blocked for
@@ -124,6 +124,11 @@ def wait(max_wait_s: float = 3600.0, probe_timeout_s: float = 120.0,
     Useful on single-tenant remote chips, which stay wedged while an
     orphaned compile drains (observed minutes to hours, scaling with how
     long the killed compile had been running).
+
+    A probe whose plugin ERRORS (rather than blocks) can leave JAX silently
+    falling back to the CPU backend; that is NOT the accelerator answering,
+    so the probe reports CPU_FALLBACK and the wait continues (unless
+    ``allow_cpu`` — for rigs where CPU is the intended backend).
     """
     import subprocess
     import time as _time
@@ -131,9 +136,11 @@ def wait(max_wait_s: float = 3600.0, probe_timeout_s: float = 120.0,
     probe_src = (
         "import jax, jax.numpy as jnp, numpy as np;"
         "x = jnp.ones((256, 256), jnp.bfloat16);"
-        "print('LIVE', np.asarray(jnp.dot(x, x))[0, 0],"
-        " jax.devices()[0].device_kind)"
+        "v = np.asarray(jnp.dot(x, x))[0, 0];"
+        "tag = 'CPU_FALLBACK' if jax.default_backend() == 'cpu' else 'LIVE';"
+        "print(tag, v, jax.devices()[0].device_kind)"
     )
+    ok_tags = ("LIVE", "CPU_FALLBACK") if allow_cpu else ("LIVE",)
     deadline = _time.monotonic() + max_wait_s
     attempt = 0
     while True:
@@ -142,13 +149,22 @@ def wait(max_wait_s: float = 3600.0, probe_timeout_s: float = 120.0,
             r = subprocess.run(
                 [sys.executable, "-c", probe_src], capture_output=True,
                 text=True, timeout=probe_timeout_s)
-            if r.returncode == 0 and "LIVE" in r.stdout:
+            first_word = (r.stdout.strip().splitlines() or [""])[-1].split(
+                " ")[0]
+            if r.returncode == 0 and first_word in ok_tags:
                 print(f"accelerator LIVE (attempt {attempt}): "
                       f"{r.stdout.strip().splitlines()[-1]}")
                 return 0
-            tail = (r.stderr or r.stdout).strip().splitlines()
-            print(f"attempt {attempt}: probe failed"
-                  f" ({tail[-1][:120] if tail else 'no output'})", flush=True)
+            if r.returncode == 0 and first_word == "CPU_FALLBACK":
+                print(f"attempt {attempt}: plugin errored, JAX fell back to"
+                      " CPU — accelerator still down", flush=True)
+                tail = None
+            else:
+                tail = (r.stderr or r.stdout).strip().splitlines()
+            if tail is not None:
+                print(f"attempt {attempt}: probe failed"
+                      f" ({tail[-1][:120] if tail else 'no output'})",
+                      flush=True)
         except subprocess.TimeoutExpired:
             print(f"attempt {attempt}: still blocked after"
                   f" {probe_timeout_s:.0f}s (wedged claim draining?)",

@@ -42,9 +42,27 @@ def test_wait_returns_1_on_budget_exhaustion(monkeypatch):
 def test_wait_treats_probe_error_as_not_live(monkeypatch):
     _patch_run(monkeypatch,
                [(1, "RuntimeError: backend 'axon' failed\n"),
-                (0, "LIVE 256.0 cpu\n")])
+                (0, "LIVE 256.0 TPU v5 lite\n")])
     monkeypatch.setattr("time.sleep", lambda s: None)
     assert diagnose.wait(max_wait_s=600, probe_timeout_s=1, interval_s=1) == 0
+
+
+def test_wait_rejects_silent_cpu_fallback(monkeypatch):
+    """A plugin that ERRORS (instead of blocking) can leave JAX on the CPU
+    backend; a wait-for-accelerator must not declare that LIVE — the
+    serving job would land on the 100x-slower portable path."""
+    _patch_run(monkeypatch,
+               [(0, "CPU_FALLBACK 256.0 cpu\n"),
+                (0, "LIVE 256.0 TPU v5 lite\n")])
+    monkeypatch.setattr("time.sleep", lambda s: None)
+    assert diagnose.wait(max_wait_s=600, probe_timeout_s=1, interval_s=1) == 0
+
+
+def test_wait_allow_cpu_accepts_fallback(monkeypatch):
+    _patch_run(monkeypatch, [(0, "CPU_FALLBACK 256.0 cpu\n")])
+    monkeypatch.setattr("time.sleep", lambda s: None)
+    assert diagnose.wait(max_wait_s=600, probe_timeout_s=1, interval_s=1,
+                         allow_cpu=True) == 0
 
 
 def test_wait_probe_source_forces_host_pull():
