@@ -1084,13 +1084,15 @@ def blind_rotate_mxu(cfg: ServerConfig, bsk_rings, lut, lwe, *,
 def _rotdig64_kernel_active(plan: MxuPlan) -> bool:
     import os
 
-    # opt-in until the on-TPU Mosaic compile is validated at the u64 gate
-    # shapes (an unvalidated kernel-in-scan compile on the default path
-    # could wedge the single-tenant chip — TODO.md); base_log*level <= 32
-    # is the kernel's u32-state precondition (_rotdig_pallas64).
+    # DEFAULT ON (opt-out CONCRETE_TPU_ROTDIG64=0): validated on v5e
+    # 2026-08-19 (benchmarks/probe_rotdig64*.py) — bit-identical to the
+    # emulated-i64 scan at N=256/k=4 and N=1024/k=1, +1..5% steady-state
+    # and 10-26x faster Mosaic compile (11-18 s vs 158-286 s).
+    # base_log*level <= 32 is the kernel's u32-state precondition
+    # (_rotdig_pallas64).
     return (plan.bits == 64 and _on_tpu()
             and plan.base_log * plan.level <= 32
-            and os.environ.get("CONCRETE_TPU_ROTDIG64", "0") == "1")
+            and os.environ.get("CONCRETE_TPU_ROTDIG64", "1") == "1")
 
 
 def _blind_rotate_u64_planes(plan: MxuPlan, bsk_rings, acc, a_hats,
