@@ -116,7 +116,10 @@ def stage_pbs(N, k):
 
 def stage_pair(N, k):
     cfg, plan, bsk, lut, lwe = _setup(N, k)
-    os.environ.pop("CONCRETE_TPU_ROTDIG64", None)
+    # force the NON-plane path: with the plane path default-ON,
+    # recombine_limb_planes is never reached and the i64-vs-pair comparison
+    # would silently measure two identical configs
+    os.environ["CONCRETE_TPU_ROTDIG64"] = "0"
     os.environ["CONCRETE_TPU_RECOMB64"] = "i64"
     base = _timed_pbs(cfg, bsk, lut, lwe, "recombine i64")
     os.environ["CONCRETE_TPU_RECOMB64"] = "pair"

@@ -2,8 +2,14 @@
 
 The pbs/pair stages of probe_rotdig64.py disagreed on the OFF baseline
 (1049 ms after a 246 s compile vs 495 ms in a fresh process) — this
-probe times each config with 5 reps in one process, OFF first, chained
-dispatch, so the number is steady-state and comparable.
+probe times each config with 5 synchronized reps in one process (each rep
+blocks on its output before the next dispatch), OFF first, so the number
+is steady-state and comparable.
+
+NOTE: the env var is TRACE-TIME-bound — the OFF/ON comparison is only
+valid because each _timed call builds a fresh jax.jit lambda, so the flag
+is re-read when that lambda traces. Never reuse a jitted fn across the
+flag flip.
 """
 
 import os

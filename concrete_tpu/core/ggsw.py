@@ -98,6 +98,16 @@ def assemble_ggsw(
     if values is None:
         values = np.array([value], dtype=np.int64)
         rows = rows[None]
+    _add_gadget_diagonals(rows, values, base_log, level_count, bits)
+    return rows
+
+
+def _add_gadget_diagonals(rows, values, base_log, level_count, bits):
+    """Add the gadget summands m*q/B^level to the first coefficient of each
+    level matrix's diagonal polynomials, in place. rows: [n, l, k+1, k+1, N];
+    values: [n] ints (secret/glwe.rs:831-856)."""
+    dt = UNSIGNED[bits]
+    ks1 = rows.shape[2]
     shifts = np.array(
         [bits - base_log * (lev + 1) for lev in range(level_count)], dtype=np.uint64
     )
@@ -105,9 +115,8 @@ def assemble_ggsw(
     summands = (
         values.astype(np.uint64)[:, None] << shifts[None, :]
     ).astype(dt)  # [n_bits, l]
-    for row_idx in range(k + 1):
+    for row_idx in range(ks1):
         rows[:, :, row_idx, row_idx, 0:1] += summands[:, :, None]
-    return rows
 
 
 @dataclasses.dataclass
@@ -131,28 +140,84 @@ class StandardBootstrapKey:
         level_count: int,
         std: float,
         gen: EncryptionRandomGenerator,
+        *,
+        batched: bool = True,
     ) -> "StandardBootstrapKey":
         """fill_with_new_key (standard/mod.rs:172-209): fork the generator per
         key bit (identical bits to the reference's rayon par_fill), draw all
-        randomness host-side, then assemble every row in one batched NTT."""
+        randomness host-side, then assemble every row in one batched NTT.
+
+        The default path batches the randomness draws across ALL forked
+        children (one contiguous mask read + one AES sweep over every noise
+        child, csprng.random.batch_fill_gaussian_torus) and overlaps the
+        device-side mask*key multisum with the host-side noise draw — the
+        TPU answer to the reference's rayon par_fill_with_new_key
+        (standard/mod.rs:254). ``batched=False`` keeps the per-bit
+        sequential draw; both produce identical bits (tests/test_csprng.py,
+        golden digests in tests/test_golden.py).
+        """
         bits = glwe_key.bits
         k = glwe_key.dimension
         n = glwe_key.polynomial_size
         n_lwe = lwe_key.dimension
+        if not batched:
+            bit_gens = gen.fork_bsk_to_ggsw(bits, n_lwe, level_count, k + 1, n)
+            masks = np.zeros((n_lwe, level_count, k + 1, k, n), dtype=UNSIGNED[bits])
+            noises = np.zeros((n_lwe, level_count, k + 1, n), dtype=UNSIGNED[bits])
+            for i, g in enumerate(bit_gens):
+                masks[i], noises[i] = _draw_ggsw_randomness(
+                    glwe_key, level_count, std, g)
+            data = assemble_ggsw(
+                glwe_key,
+                0,
+                base_log,
+                level_count,
+                masks,
+                noises,
+                values=lwe_key.key.astype(np.int64),
+            )
+            return cls(data=data, base_log=base_log, level_count=level_count,
+                       bits=bits)
+
+        import jax.numpy as jnp
+
+        from ..csprng.random import RandomGenerator, batch_fill_gaussian_torus
+        from .glwe import _jit_multisum
+
+        # The nested fork budgets (bsk -> ggsw -> levels -> rows) are
+        # consumed EXACTLY by the mask draws, so the whole BSK mask tensor
+        # is one contiguous range of the parent mask stream starting at the
+        # pre-fork state — read it in one sweep.
+        from ..csprng.generator import AesCtrGenerator, State
+
+        mask_start = gen.mask.inner.state.gpos
         bit_gens = gen.fork_bsk_to_ggsw(bits, n_lwe, level_count, k + 1, n)
-        masks = np.zeros((n_lwe, level_count, k + 1, k, n), dtype=UNSIGNED[bits])
-        noises = np.zeros((n_lwe, level_count, k + 1, n), dtype=UNSIGNED[bits])
-        for i, g in enumerate(bit_gens):
-            masks[i], noises[i] = _draw_ggsw_randomness(glwe_key, level_count, std, g)
-        data = assemble_ggsw(
-            glwe_key,
-            0,
-            base_log,
-            level_count,
-            masks,
-            noises,
-            values=lwe_key.key.astype(np.int64),
-        )
+        noise_gens = []
+        for g in bit_gens:
+            for lev_gen in g.fork_ggsw_to_ggsw_levels(bits, level_count, k + 1, n):
+                noise_gens.extend(
+                    rg.noise for rg in lev_gen.fork_ggsw_level_to_glwe(bits, k + 1, n))
+        reader = RandomGenerator(_inner=AesCtrGenerator(
+            state=State(gpos=mask_start),
+            _round_keys=gen.mask.inner.round_keys))
+        rows = n_lwe * level_count * (k + 1)
+        masks = reader.random_uniform_array(rows * k * n, bits).reshape(
+            n_lwe, level_count, k + 1, k, n)
+        # dispatch the mask*key multisum on device NOW (async), draw the
+        # gaussian noise on the host underneath it
+        ms_dev = _jit_multisum(
+            jnp.asarray(masks), jnp.asarray(glwe_key.key), bits,
+            small_max=glwe_key._key_magnitude())
+        try:
+            ms_dev.copy_to_host_async()  # D2H rides under the noise draw too
+        except Exception:  # pragma: no cover - backend without async copy
+            pass
+        noises = batch_fill_gaussian_torus(noise_gens, n, std, bits).reshape(
+            n_lwe, level_count, k + 1, n)
+        bodies = noises + np.array(ms_dev)
+        data = np.concatenate([masks, bodies[..., None, :]], axis=-2)
+        _add_gadget_diagonals(
+            data, lwe_key.key.astype(np.int64), base_log, level_count, bits)
         return cls(data=data, base_log=base_log, level_count=level_count, bits=bits)
 
 

@@ -142,6 +142,53 @@ def ctr_fill(round_keys: np.ndarray, first_block: int, n_blocks: int) -> np.ndar
     return _encrypt_blocks_numpy(blocks, round_keys).reshape(-1)
 
 
+def ctr_fill_batch(
+    round_keys: np.ndarray, first_lo: np.ndarray, first_hi: np.ndarray,
+    n_blocks: int,
+) -> np.ndarray:
+    """Encrypt ``n_blocks`` consecutive counters from R independent start
+    positions in ONE AES sweep: first_lo/first_hi [R] u64 (the u128 counter
+    split little-endian) -> [R, n_blocks * 16] u8.
+
+    The batched analog of R ctr_fill calls — used by the key-generation
+    fast path, where every forked child stream is swept simultaneously
+    (replacing the reference's rayon par_fill fan-out,
+    bootstrap/standard/mod.rs:254, with data parallelism)."""
+    r = first_lo.shape[0]
+    if r == 0 or n_blocks == 0:
+        return np.zeros((r, n_blocks * 16), dtype=np.uint8)
+    from .. import native
+
+    lib = native.load_aes()
+    if lib is not None:
+        import ctypes
+
+        rk = np.ascontiguousarray(round_keys, dtype=np.uint8)
+        lo = np.ascontiguousarray(first_lo, dtype=np.uint64)
+        hi = np.ascontiguousarray(first_hi, dtype=np.uint64)
+        out = np.empty((r, n_blocks * 16), dtype=np.uint8)
+        u8p = ctypes.POINTER(ctypes.c_uint8)
+        u64p = ctypes.POINTER(ctypes.c_uint64)
+        lib.ctpu_aes128_ctr_fill_batch(
+            rk.ctypes.data_as(u8p),
+            lo.ctypes.data_as(u64p),
+            hi.ctypes.data_as(u64p),
+            out.ctypes.data_as(u8p),
+            r,
+            n_blocks,
+        )
+        return out
+    k = np.arange(n_blocks, dtype=np.uint64)
+    with np.errstate(over="ignore"):
+        lo = first_lo[:, None] + k[None, :]                   # [R, M]
+        hi = first_hi[:, None] + (lo < first_lo[:, None]).astype(np.uint64)
+    blocks = np.empty((r, n_blocks, 16), dtype=np.uint8)
+    blocks[..., :8] = lo.astype("<u8").view(np.uint8).reshape(r, n_blocks, 8)
+    blocks[..., 8:] = hi.astype("<u8").view(np.uint8).reshape(r, n_blocks, 8)
+    return encrypt_blocks(blocks.reshape(-1, 16), round_keys).reshape(
+        r, n_blocks * 16)
+
+
 def _encrypt_blocks_numpy(blocks: np.ndarray, round_keys: np.ndarray) -> np.ndarray:
     """Pure-numpy batched AES-128 (the reference software path analog)."""
     state = blocks ^ round_keys[0]

@@ -30,9 +30,117 @@ from __future__ import annotations
 import numpy as np
 
 from ..torus import from_torus_f64
+from . import aes
 from .generator import AesCtrGenerator, State
 
 _DTYPES = {8: np.uint8, 16: np.uint16, 32: np.uint32, 64: np.uint64}
+
+
+def _gaussian_attempt_eval(raw: np.ndarray):
+    """One Marsaglia-polar attempt per 16 bytes: two little-endian i64 scaled
+    by 2^-63 (gaussian.rs:27), accepted iff 0 < u^2+v^2 < 1."""
+    ints = raw.reshape(-1, 16).view("<i8")  # [m, 2] little-endian i64
+    uv = ints.astype(np.float64) * 2.0 ** -63
+    s = uv[:, 0] ** 2 + uv[:, 1] ** 2
+    accept = (s > 0.0) & (s < 1.0)
+    return accept, uv
+
+
+def _pairs_to_torus(uv: np.ndarray, std: float, size: int, bits: int):
+    """Accepted uv pairs [..., n_pairs, 2] -> interleaved torus noise
+    [..., size] (fill_tensor_with_random_gaussian order, generator.rs:558)."""
+    s = uv[..., 0] ** 2 + uv[..., 1] ** 2
+    cst = std * np.sqrt(-2.0 * np.log(s) / s)
+    t1 = from_torus_f64(uv[..., 0] * cst, bits)
+    t2 = from_torus_f64(uv[..., 1] * cst, bits)
+    out = np.empty(uv.shape[:-2] + (2 * uv.shape[-2],), dtype=_DTYPES[bits])
+    out[..., 0::2] = t1
+    out[..., 1::2] = t2
+    return out[..., :size]
+
+
+def batch_fill_gaussian_torus(
+    gens: list["RandomGenerator"], size: int, std: float, bits: int
+) -> np.ndarray:
+    """Bit-identical to ``[g.fill_gaussian_torus(size, std, bits) for g in
+    gens]`` — including each generator's final stream position — but with
+    every generator's speculative attempt window produced by ONE batched AES
+    sweep (aes.ctr_fill_batch).
+
+    This is the key-generation hot path: a bootstrap key draws
+    n*l*(k+1) independent noise polynomials from budget-spaced forked
+    children (csprng/encryption.py); sweeping them together replaces 3,780
+    small AES calls with one large one. Rows whose first window doesn't
+    yield enough accepted attempts (the sequential sampler's first chunk,
+    max(int(n_pairs*1.35)+8, 16) attempts) fall back to the per-generator
+    rejection loop for the remainder — chunk sizes depend only on the
+    remaining want, so consumption stays byte-identical to the sequential
+    sampler's.
+    """
+    if not gens:
+        return np.zeros((0, size), dtype=_DTYPES[bits])
+    rks = gens[0].inner.round_keys
+    if not all(g.inner.round_keys is rks for g in gens):
+        # mixed keys: no shared AES sweep possible
+        return np.stack([g.fill_gaussian_torus(size, std, bits) for g in gens])
+    n_pairs = (size + 1) // 2
+    r = len(gens)
+    m = max(int(n_pairs * 1.35) + 8, 16)  # the sequential first-chunk size
+    # per-row attempt cap from the generator bound (sequential: m=min(m,avail))
+    m_rows = np.full(r, m, dtype=np.int64)
+    starts = np.empty(r, dtype=object)
+    for i, g in enumerate(gens):
+        starts[i] = g.inner.state.gpos
+        if g.inner.bound is not None:
+            avail = (g.inner.bound.gpos - g.inner.state.gpos) // 16
+            if avail < 1:
+                raise RuntimeError(
+                    "Tried to generate a byte outside the generator bound.")
+            m_rows[i] = min(m, avail)
+    m_max = int(m_rows.max())
+    # one AES sweep over every row's window (rows may start mid-block)
+    first_lo = np.array([(s // 16) & 0xFFFFFFFFFFFFFFFF for s in starts],
+                        dtype=np.uint64)
+    first_hi = np.array([(s // 16) >> 64 for s in starts], dtype=np.uint64)
+    offs = np.array([s % 16 for s in starts], dtype=np.int64)
+    n_blocks = m_max + (1 if (offs != 0).any() else 0)
+    raw = aes.ctr_fill_batch(rks, first_lo, first_hi, n_blocks)
+    if (offs != 0).any():
+        idx = offs[:, None] + np.arange(m_max * 16, dtype=np.int64)[None, :]
+        raw = np.take_along_axis(raw, idx, axis=1)
+    else:
+        raw = raw[:, : m_max * 16]
+    accept, uv = _gaussian_attempt_eval(raw.reshape(-1))
+    accept = accept.reshape(r, m_max)
+    uv = uv.reshape(r, m_max, 2)
+    if (m_rows != m_max).any():
+        # mask attempts beyond each row's own window
+        accept &= np.arange(m_max)[None, :] < m_rows[:, None]
+    cum = accept.cumsum(axis=1, dtype=np.int32)
+    got = cum[:, -1]
+    out_uv = np.empty((r, n_pairs, 2), dtype=np.float64)
+    done = got >= n_pairs
+    if done.any():
+        # first n_pairs accepted attempts per satisfied row; boolean indexing
+        # is row-major, so one flat gather groups selections by row
+        sel = accept & (cum <= n_pairs)
+        if not done.all():
+            sel &= done[:, None]
+        out_uv[done] = uv[sel].reshape(-1, n_pairs, 2)
+        # consumption ends at the n_pairs-th acceptance (inclusive)
+        last = np.argmax(cum >= n_pairs, axis=1)
+        for i in np.nonzero(done)[0]:
+            gens[i].inner.state = State(
+                gpos=int(starts[i]) + (int(last[i]) + 1) * 16)
+    for i in np.nonzero(~done)[0]:
+        # straggler: whole first chunk consumed (sequential semantics), then
+        # continue with the per-generator rejection loop for the remainder
+        gens[i].inner.state = State(gpos=int(starts[i]) + int(m_rows[i]) * 16)
+        part = uv[i, accept[i]]
+        rest = gens[i]._rejection_stream(
+            n_pairs - int(got[i]), 16, _gaussian_attempt_eval)
+        out_uv[i] = np.concatenate([part, rest], axis=0)
+    return _pairs_to_torus(out_uv, std, size, bits)
 
 
 class RandomGenerator:
@@ -188,15 +296,7 @@ class RandomGenerator:
         Each attempt consumes exactly 16 bytes (two i64, gaussian.rs:27);
         attempts are rejected unless 0 < s < 1.
         """
-
-        def attempt_eval(raw: np.ndarray):
-            ints = raw.reshape(-1, 16).view("<i8")  # [m, 2] little-endian i64
-            uv = ints.astype(np.float64) * 2.0 ** -63
-            s = uv[:, 0] ** 2 + uv[:, 1] ** 2
-            accept = (s > 0.0) & (s < 1.0)
-            return accept, uv
-
-        uv = self._rejection_stream(n_pairs, 16, attempt_eval)
+        uv = self._rejection_stream(n_pairs, 16, _gaussian_attempt_eval)
         s = uv[:, 0] ** 2 + uv[:, 1] ** 2
         cst = std * np.sqrt(-2.0 * np.log(s) / s)
         return uv[:, 0] * cst + mean, uv[:, 1] * cst + mean

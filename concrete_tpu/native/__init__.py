@@ -90,6 +90,10 @@ def load_aes():
     lib.ctpu_aes128_ctr_fill.argtypes = [
         u8p, ctypes.c_uint64, ctypes.c_uint64, u8p, ctypes.c_size_t]
     lib.ctpu_aes128_ctr_fill.restype = None
+    u64p = ctypes.POINTER(ctypes.c_uint64)
+    lib.ctpu_aes128_ctr_fill_batch.argtypes = [
+        u8p, u64p, u64p, u8p, ctypes.c_size_t, ctypes.c_size_t]
+    lib.ctpu_aes128_ctr_fill_batch.restype = None
     lib.ctpu_aes128_has_hw.argtypes = []
     lib.ctpu_aes128_has_hw.restype = ctypes.c_int
     return lib

@@ -14,6 +14,8 @@
 
 #include <cstdint>
 #include <cstring>
+#include <thread>
+#include <vector>
 
 #if defined(__x86_64__) || defined(_M_X64)
 #define CTPU_X86 1
@@ -192,6 +194,38 @@ void ctpu_aes128_ctr_fill(const uint8_t* round_keys, uint64_t ctr_lo,
     ctpu_aes128_encrypt_blocks(round_keys, blocks, out + 16 * done, m);
     done += m;
   }
+}
+
+// Batched CTR fill: r independent little-endian u128 start counters
+// (ctr_lo[i], ctr_hi[i]), n_blocks consecutive blocks each ->
+// out[r * n_blocks * 16]. Rows are independent streams, so they fan out
+// across hardware threads — the host-side analog of the reference's rayon
+// par_fill_with_new_key (bootstrap/standard/mod.rs:254); used by the
+// key-generation batch sweep (csprng/random.py batch_fill_gaussian_torus).
+void ctpu_aes128_ctr_fill_batch(const uint8_t* round_keys,
+                                const uint64_t* ctr_lo, const uint64_t* ctr_hi,
+                                uint8_t* out, size_t r, size_t n_blocks) {
+  size_t n_threads = std::thread::hardware_concurrency();
+  if (n_threads == 0) n_threads = 1;
+  if (n_threads > r) n_threads = r;
+  // thread pools are overkill here: one spawn per keygen-scale call
+  if (n_threads <= 1 || r * n_blocks < 4096) {
+    for (size_t i = 0; i < r; ++i)
+      ctpu_aes128_ctr_fill(round_keys, ctr_lo[i], ctr_hi[i],
+                           out + i * n_blocks * 16, n_blocks);
+    return;
+  }
+  std::vector<std::thread> threads;
+  threads.reserve(n_threads);
+  for (size_t t = 0; t < n_threads; ++t) {
+    size_t lo = r * t / n_threads, hi = r * (t + 1) / n_threads;
+    threads.emplace_back([=] {
+      for (size_t i = lo; i < hi; ++i)
+        ctpu_aes128_ctr_fill(round_keys, ctr_lo[i], ctr_hi[i],
+                             out + i * n_blocks * 16, n_blocks);
+    });
+  }
+  for (auto& th : threads) th.join();
 }
 
 }  // extern "C"

@@ -1,0 +1,224 @@
+"""Multi-process (multi-host-shaped) execution of the sharded gate pipeline.
+
+The reference has no distributed backend (SURVEY.md §2 tail: rayon only);
+the TPU design scales across hosts by REPLICATING the server keys once at
+setup (one broadcast/all-gather over DCN) and sharding the ciphertext batch
+(dp) across processes, with tensor parallelism (tp) inside or across hosts.
+This module is that design, executable TODAY on one machine: N processes x
+M virtual CPU devices each, `jax.distributed` + Gloo collectives standing in
+for DCN, the same `gate_pipeline_dp_tp_mxu` shard_map running unchanged over
+the GLOBAL mesh.
+
+Two mesh orientations are rehearsed:
+- dp across processes (production shape: batch over DCN, tp over ICI);
+- tp across processes (the cross-host psum — every per-CMux partial sum
+  rides the process-to-process collective).
+
+Run it via the driver hook::
+
+    python -c "import __graft_entry__ as g; g.dryrun_multihost(2, 4)"
+
+or directly (spawns the workers itself)::
+
+    python -m concrete_tpu.parallel.multihost
+
+Each worker checks its addressable output shards BIT-IDENTICAL against a
+single-device reference computed from the broadcast keys, so key
+replication, sharding layout, and the collectives are all on the hook.
+"""
+
+from __future__ import annotations
+
+import os
+import subprocess
+import sys
+
+import numpy as np
+
+_ENV_ID = "CONCRETE_TPU_MH_PROCESS_ID"
+_ENV_N = "CONCRETE_TPU_MH_NUM_PROCESSES"
+_ENV_COORD = "CONCRETE_TPU_MH_COORDINATOR"
+_ENV_DEV = "CONCRETE_TPU_MH_LOCAL_DEVICES"
+
+
+def initialize_from_env():
+    """jax.distributed.initialize from the CONCRETE_TPU_MH_* variables; must
+    run before any jax backend use. Returns (process_id, num_processes)."""
+    pid = int(os.environ[_ENV_ID])
+    n = int(os.environ[_ENV_N])
+    ndev = int(os.environ.get(_ENV_DEV, "4"))
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    flags = os.environ.get("XLA_FLAGS", "")
+    if "xla_force_host_platform_device_count" not in flags:
+        os.environ["XLA_FLAGS"] = (
+            flags + f" --xla_force_host_platform_device_count={ndev}").strip()
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    jax.distributed.initialize(
+        coordinator_address=os.environ[_ENV_COORD],
+        num_processes=n,
+        process_id=pid,
+    )
+    return pid, n
+
+
+def replicate_from_host0(value):
+    """The setup-time key replication: host 0's array is broadcast to every
+    process (the DCN all-gather of the design; BSK ~100 MB at real params —
+    a one-time cost). Non-zero processes pass a same-shaped placeholder."""
+    from jax.experimental import multihost_utils
+
+    return np.asarray(multihost_utils.broadcast_one_to_all(value))
+
+
+def make_global(mesh, spec, host_data):
+    """Assemble a global jax.Array on `mesh` with PartitionSpec `spec` from
+    identical per-host numpy data (keys replicated / batch that every host
+    can regenerate deterministically): each process donates exactly its
+    addressable shards."""
+    import jax
+    from jax.sharding import NamedSharding
+
+    sharding = NamedSharding(mesh, spec)
+    return jax.make_array_from_callback(
+        host_data.shape, sharding, lambda idx: host_data[idx])
+
+
+def _worker() -> None:
+    """One process of the rehearsal; asserts bit-identity and prints OK."""
+    pid, n_proc = initialize_from_env()
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import Mesh, PartitionSpec as P
+    from jax.experimental import multihost_utils
+
+    import __graft_entry__ as ge
+    from concrete_tpu.core import bootstrap as bs
+    from concrete_tpu.core import bootstrap_mxu as bsx
+    from concrete_tpu.dispersion import StandardDev
+    from concrete_tpu.params import BooleanParameters
+    from concrete_tpu.parallel import gate_pipeline_dp_tp_mxu
+
+    ndev_local = len(jax.local_devices())
+    devices = jax.devices()
+    assert len(devices) == n_proc * ndev_local
+
+    params = BooleanParameters(
+        lwe_dimension=16, glwe_dimension=1, polynomial_size=128,
+        pbs_base_log=8, pbs_level=2, ks_base_log=4, ks_level=3,
+        lwe_modular_std_dev=StandardDev(2.0 ** -20),
+        glwe_modular_std_dev=StandardDev(2.0 ** -25))
+    cfg = bs.ServerConfig.from_boolean_parameters(params)
+
+    # --- key replication: host 0 owns the keys, everyone else receives ---
+    if pid == 0:
+        rings_h, ksk_h, _ = ge._synthetic_server_tensors(cfg, 1, kind="mxu")
+        rings_h, ksk_h = np.asarray(rings_h), np.asarray(ksk_h)
+    else:
+        plan = bsx.MxuPlan.from_config(cfg)
+        rings_h = np.zeros(
+            (cfg.lwe_dimension, plan.row_blocks, plan.glwe_size,
+             2 * cfg.polynomial_size), np.uint32)
+        ksk_h = np.zeros(
+            (cfg.big_lwe_dimension, cfg.ks_level, cfg.lwe_dimension + 1),
+            np.uint32)
+    rings_h = replicate_from_host0(rings_h)
+    ksk_h = replicate_from_host0(ksk_h)
+    assert rings_h.any() and ksk_h.any(), "broadcast produced zeros"
+
+    lut = bs.trivial_lut_constant(cfg, np.uint32(1 << 29))
+    batch = 4 * len(devices)
+    rng = np.random.default_rng(7)  # same on every host (deterministic batch)
+    lin_h = rng.integers(0, 1 << 32, size=(batch, cfg.lwe_dimension + 1),
+                         dtype=np.uint32)
+
+    # single-device reference from the broadcast keys (local compute)
+    ref = np.asarray(bsx.bootstrap_keyswitch_mxu(
+        cfg, jnp.asarray(rings_h), jnp.asarray(ksk_h), lut,
+        jnp.asarray(lin_h)))
+
+    def check(tag, mesh):
+        fn = gate_pipeline_dp_tp_mxu(cfg, mesh)
+        rings_g = make_global(mesh, P(None, "tp"), rings_h)
+        ksk_g = make_global(
+            mesh, P("tp") if cfg.big_lwe_dimension % mesh.shape["tp"] == 0
+            else P(), ksk_h)
+        lut_g = make_global(mesh, P(), np.asarray(lut))
+        lin_g = make_global(mesh, P("dp"), lin_h)
+        out = fn(rings_g, ksk_g, lut_g, lin_g)
+        # every addressable output shard must equal its reference slice
+        for shard in out.addressable_shards:
+            want = ref[shard.index]
+            got = np.asarray(shard.data)
+            assert np.array_equal(got, want), f"{tag}: shard {shard.index}"
+        # and the fully-gathered result must round-trip the DCN collective
+        full = np.asarray(multihost_utils.process_allgather(out, tiled=True))
+        assert np.array_equal(full, ref), f"{tag}: allgather mismatch"
+        print(f"  [proc {pid}] {tag}: bit-identical OK "
+              f"(batch={batch}, devices={len(devices)})", flush=True)
+
+    # 1) production shape: dp ACROSS processes, tp inside each process
+    check("dp-across-hosts tp=2",
+          Mesh(np.array(devices).reshape(-1, 2), ("dp", "tp")))
+    # 2) the hard one: tp ACROSS processes — every CMux psum crosses the
+    #    process boundary (DCN-collective rehearsal)
+    check("tp-across-hosts tp=%d" % n_proc,
+          Mesh(np.array(devices).reshape(n_proc, -1).T.copy(), ("dp", "tp")))
+
+    multihost_utils.sync_global_devices("done")
+    if pid == 0:
+        print(f"multihost worker matrix OK ({n_proc} processes x "
+              f"{ndev_local} devices)", flush=True)
+
+
+def run(n_processes: int = 2, devices_per_process: int = 4,
+        timeout: float = 900.0) -> None:
+    """Spawn the worker processes and wait; raises on any failure."""
+    import portpicker
+
+    port = portpicker.pick_unused_port()
+    procs = []
+    for pid in range(n_processes):
+        env = dict(os.environ)
+        env.pop("XLA_FLAGS", None)
+        env.update({
+            _ENV_ID: str(pid),
+            _ENV_N: str(n_processes),
+            _ENV_COORD: f"localhost:{port}",
+            _ENV_DEV: str(devices_per_process),
+        })
+        procs.append(subprocess.Popen(
+            [sys.executable, "-m", "concrete_tpu.parallel.multihost"],
+            env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+            text=True,
+            cwd=os.path.dirname(os.path.dirname(
+                os.path.dirname(os.path.abspath(__file__)))),
+        ))
+    failed = []
+    outputs = []
+    for pid, p in enumerate(procs):
+        try:
+            out, _ = p.communicate(timeout=timeout)
+        except subprocess.TimeoutExpired:
+            p.kill()
+            out, _ = p.communicate()
+            failed.append(pid)
+        outputs.append(out)
+        if p.returncode != 0:
+            failed.append(pid)
+    for pid, out in enumerate(outputs):
+        for line in out.splitlines():
+            if not any(s in line for s in ("WARNING", "INFO", "Gloo", "E0", "W0")):
+                print(line)
+    if failed:
+        raise RuntimeError(
+            f"multihost workers failed: {sorted(set(failed))}\n"
+            + "\n".join(outputs))
+
+
+if __name__ == "__main__":
+    if _ENV_ID in os.environ:
+        _worker()
+    else:
+        run()

@@ -230,3 +230,98 @@ def test_uniform_with_zeros_bounded_raises_like_sequential():
     child = parent.try_fork(1, 40)[0]  # 40 bytes: not enough for 16 draws
     with np.testing.assert_raises(RuntimeError):
         child.random_uniform_with_zeros_array(16, 0.0, 32)
+
+
+def test_batch_gaussian_matches_sequential():
+    """batch_fill_gaussian_torus must equal the per-generator sequential
+    draws bit-for-bit — values AND final stream positions — across widths,
+    sizes (odd included) and mid-block start offsets."""
+    from concrete_tpu.csprng.random import RandomGenerator, batch_fill_gaussian_torus
+
+    for bits in (32, 64):
+        for size in (2, 15, 64, 257):
+            pa = RandomGenerator(seed=9)
+            pb = RandomGenerator(seed=9)
+            # budget like the keygen fork (noise_bytes_per_coef = 256/value);
+            # +3 makes every child start mid-block (offset handling)
+            pa.generate_bytes(3)
+            pb.generate_bytes(3)
+            ga = pa.try_fork(24, size * 256)
+            gb = pb.try_fork(24, size * 256)
+            want = np.stack(
+                [g.fill_gaussian_torus(size, 2.0**-8, bits) for g in ga])
+            got = batch_fill_gaussian_torus(gb, size, 2.0**-8, bits)
+            np.testing.assert_array_equal(want, got)
+            for a, b in zip(ga, gb):
+                assert a.inner.state.gpos == b.inner.state.gpos, (bits, size)
+
+
+def test_batch_gaussian_straggler_path():
+    """Rows whose first speculative chunk yields too few accepted attempts
+    must fall back to the sequential rejection loop with identical bytes.
+    The real acceptance rate (pi/4) makes stragglers ~3e-4/row, so force
+    them deterministically with a stricter acceptance predicate (patched
+    into BOTH paths — they resolve the module global at call time)."""
+    import concrete_tpu.csprng.random as crandom
+    from concrete_tpu.csprng.random import RandomGenerator, batch_fill_gaussian_torus
+
+    orig = crandom._gaussian_attempt_eval
+
+    def strict(raw):
+        accept, uv = orig(raw)
+        s = uv[:, 0] ** 2 + uv[:, 1] ** 2
+        return accept & (s < 0.25), uv
+
+    crandom._gaussian_attempt_eval = strict
+    try:
+        pa = RandomGenerator(seed=31)
+        pb = RandomGenerator(seed=31)
+        ga = pa.try_fork(16, 64 * 1024)
+        gb = pb.try_fork(16, 64 * 1024)
+        want = np.stack([g.fill_gaussian_torus(64, 2.0**-8, 32) for g in ga])
+        got = batch_fill_gaussian_torus(gb, 64, 2.0**-8, 32)
+        np.testing.assert_array_equal(want, got)
+        for a, b in zip(ga, gb):
+            assert a.inner.state.gpos == b.inner.state.gpos
+    finally:
+        crandom._gaussian_attempt_eval = orig
+
+
+def test_batch_gaussian_bound_respected():
+    """A child too small for even one attempt must raise like the
+    sequential sampler."""
+    from concrete_tpu.csprng.random import RandomGenerator, batch_fill_gaussian_torus
+
+    parent = RandomGenerator(seed=6)
+    kids = parent.try_fork(2, 8)  # 8 bytes < one 16-byte attempt
+    with np.testing.assert_raises(RuntimeError):
+        batch_fill_gaussian_torus(kids, 4, 2.0**-8, 32)
+
+
+def test_bsk_generate_batched_matches_sequential():
+    """StandardBootstrapKey.generate(batched=True) — the production path —
+    must produce the identical key tensor and leave the parent generators
+    at the identical stream positions as the per-bit sequential draw
+    (par_fill_with_new_key determinism, bootstrap/standard/mod.rs:254)."""
+    from concrete_tpu.core import glwe as glwe_mod
+    from concrete_tpu.core import lwe as lwe_mod
+    from concrete_tpu.core.ggsw import StandardBootstrapKey
+    from concrete_tpu.csprng import EncryptionRandomGenerator, SecretRandomGenerator
+
+    for (dim, k, n, bl, lv, bits) in [
+        (12, 2, 16, 4, 2, 32),
+        (9, 1, 32, 7, 3, 32),
+        (7, 3, 16, 5, 2, 64),
+    ]:
+        sgen = SecretRandomGenerator(42)
+        lwe_sk = lwe_mod.LweSecretKey.generate_binary(dim, sgen, bits)
+        glwe_sk = glwe_mod.GlweSecretKey.generate_binary(k, n, sgen, bits)
+        g1 = EncryptionRandomGenerator(43, 44)
+        g2 = EncryptionRandomGenerator(43, 44)
+        b_seq = StandardBootstrapKey.generate(
+            lwe_sk, glwe_sk, bl, lv, 2.0**-8, g1, batched=False)
+        b_bat = StandardBootstrapKey.generate(
+            lwe_sk, glwe_sk, bl, lv, 2.0**-8, g2)
+        np.testing.assert_array_equal(b_seq.data, b_bat.data)
+        assert g1.mask.inner.state.gpos == g2.mask.inner.state.gpos
+        assert g1.noise.inner.state.gpos == g2.noise.inner.state.gpos
