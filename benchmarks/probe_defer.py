@@ -22,8 +22,11 @@ Subcommands (args: [steps] [batch], defaults 8 / 512):
                     bit-identity-checked against the default path
 """
 
+import os
 import sys
 import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import numpy as np
 import jax
