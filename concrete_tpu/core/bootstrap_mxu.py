@@ -196,13 +196,19 @@ def bsk_to_mxu(bsk_data, cfg: ServerConfig):
 # ---------------------------------------------------------------------------
 
 
-def _kept_limbs(n_words: int, limb_drop: int):
-    """Kept (word, byte) pairs in ascending global-limb order."""
+def _kept_limbs(n_words: int, limb_drop: int, limb_hi_drop: int = 0):
+    """Kept (word, byte) pairs in ascending global-limb order.
+
+    limb_drop removes LOW limbs (reduced-precision fast mode);
+    limb_hi_drop removes HIGH limbs — used by the Nussbaumer-domain tables,
+    whose values only occupy w' = bits + log2(2L) < 8*n_limbs bits (dropping
+    limbs with shift >= ceil(w'/8)*8 is exact mod 2^(8*kept))."""
     return [(w, m) for w in range(n_words) for m in range(4)
-            if 4 * w + m >= limb_drop]
+            if limb_drop <= 4 * w + m < 4 * n_words - limb_hi_drop]
 
 
-def _build_tables_jnp(rings, N: int, n_words: int = 1, limb_drop: int = 0):
+def _build_tables_jnp(rings, N: int, n_words: int = 1, limb_drop: int = 0,
+                      limb_hi_drop: int = 0):
     """rings [R, planes, 2N] u32 -> RHS [R*N, ks1*L*N] i8: row (blk, r),
     column (kj, limb, c) holds byte limb of (X^r * ring_plane)[c] — the
     negacyclic toeplitz matrix T[r, c] = limb(ring[(c - r) mod 2N]).
@@ -218,7 +224,7 @@ def _build_tables_jnp(rings, N: int, n_words: int = 1, limb_drop: int = 0):
         rows *= 2
     cols = x[..., :N]  # [R, planes, N(rows), N(cols)]
     mask = np.uint32(0xFF)
-    kept = _kept_limbs(n_words, limb_drop)
+    kept = _kept_limbs(n_words, limb_drop, limb_hi_drop)
     limbs = jnp.stack(
         [((cols[:, kj * n_words + w] >> np.uint32(8 * m)) & mask).astype(jnp.int8)
          for kj in range(ks1) for (w, m) in kept],
@@ -231,13 +237,14 @@ def _build_tables_jnp(rings, N: int, n_words: int = 1, limb_drop: int = 0):
 @functools.lru_cache(maxsize=None)
 def _build_tables_pallas(r_blocks: int, planes: int, N: int,
                          n_words: int = 1, limb_drop: int = 0,
+                         limb_hi_drop: int = 0,
                          interpret: bool = False, tile: int | None = None):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
     mask = np.uint32(0xFF)
     ks1 = planes // n_words
-    kept = _kept_limbs(n_words, limb_drop)
+    kept = _kept_limbs(n_words, limb_drop, limb_hi_drop)
     n_kept = len(kept)
     # Row-tile the doubling so scratch ([T, 2N] u32) and the output block
     # ([T, planes*4*N] i8) stay within VMEM at large N. Tile t seeds from
@@ -312,7 +319,8 @@ def _on_tpu() -> bool:
         return False
 
 
-def build_tables(rings, N: int, n_words: int = 1, limb_drop: int = 0):
+def build_tables(rings, N: int, n_words: int = 1, limb_drop: int = 0,
+                 limb_hi_drop: int = 0):
     """Dispatch toeplitz expansion: Pallas on TPU, jnp elsewhere."""
     r_blocks, planes, _ = rings.shape
     if _on_tpu():
@@ -320,8 +328,9 @@ def build_tables(rings, N: int, n_words: int = 1, limb_drop: int = 0):
         # i32 grid/index arithmetic, so trace the kernel in x32 mode.
         with jax.enable_x64(False):
             return _build_tables_pallas(
-                r_blocks, planes, N, n_words, limb_drop)(rings)
-    return _build_tables_jnp(rings, N, n_words, limb_drop)
+                r_blocks, planes, N, n_words, limb_drop,
+                limb_hi_drop)(rings)
+    return _build_tables_jnp(rings, N, n_words, limb_drop, limb_hi_drop)
 
 
 # ---------------------------------------------------------------------------

@@ -1,0 +1,284 @@
+"""Large-N programmable bootstrapping: the external product computed in the
+Nussbaumer domain — 2L independent M-point toeplitz matmuls on the MXU.
+
+The direct MXU path (core/bootstrap_mxu.py) is an O(N^2) toeplitz matmul;
+its per-iteration RHS grows to gigabytes past N=4096, which is why it
+refuses large polynomials. Here every polynomial lives as 2L strided chunks
+of size M = N/L (math/nussbaumer.py): the negacyclic N-product becomes 2L
+POINTWISE M-point negacyclic products — O(N^2/L) MACs and O(N^2/L) table
+bytes — with rotation-only (multiplication-free) transforms on either side.
+That puts N = 8192 and 16384 on the MXU fast path; the reference supports
+exactly these sizes through FFTW (concrete-core .../math/fft/mod.rs:28).
+
+Exactness: every step is integer arithmetic. Digits are transformed as
+exact (wrapping i32) integers; GGSW chunks are transformed mod 2^64 and
+limb-packed keeping ceil((bits + log2(2L)) / 8) byte limbs — enough that
+the recombined products are exact mod 2^(8*limbs) >= 2^(bits + log2(2L)),
+so after the inverse transform the known factor 2L divides out as a right
+shift. The whole pipeline is BIT-IDENTICAL to the direct toeplitz path and
+the NTT path (tests/test_nussbaumer.py).
+
+Reference algorithm being replaced: blind_rotate / external_product
+(crypto/bootstrap/fourier/mod.rs:463-726) — same semantics, TPU-native
+large-N execution.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..math import decomposition, nussbaumer as nb, polynomial
+from . import lwe as lwe_ops
+from .bootstrap import ServerConfig, pbs_modulus_switch, sample_extract
+from . import bootstrap_mxu as bsx
+
+
+@dataclasses.dataclass(frozen=True)
+class NussPlan:
+    """Static layout of the Nussbaumer-domain external product."""
+
+    lwe_dimension: int
+    glwe_size: int           # k+1
+    polynomial_size: int     # N
+    l: int                   # chunk count L (2L transform length)
+    base_log: int
+    level: int
+    n_sub: int               # sub-digit chunks of the TRANSFORMED digits
+    ks_base_log: int
+    ks_level: int
+    bits: int = 32
+
+    @classmethod
+    def from_config(cls, cfg: ServerConfig, l: int | None = None) -> "NussPlan":
+        if cfg.bits != 32:
+            raise NotImplementedError("nussbaumer path: u32 torus first")
+        n = cfg.polynomial_size
+        if l is None:
+            l = nb.pick_l(n)
+        m = n // l
+        if l * m != n or m % l != 0:
+            raise ValueError(f"need L | M (N={n}, L={l}, M={m})")
+        # transformed digits are sums of L rotated gadget digits:
+        # |D| <= L * B/2 = 2^(bl_eff - 1) with bl_eff = bl + log2(L)
+        bl_eff = cfg.pbs_base_log + (l.bit_length() - 1)
+        n_sub = 1 if bl_eff <= 7 else (bl_eff - 8) // 7 + 2
+        plan = cls(
+            lwe_dimension=cfg.lwe_dimension,
+            glwe_size=cfg.glwe_size,
+            polynomial_size=n,
+            l=l,
+            base_log=cfg.pbs_base_log,
+            level=cfg.pbs_level,
+            n_sub=n_sub,
+            ks_base_log=cfg.ks_base_log,
+            ks_level=cfg.ks_level,
+            bits=cfg.bits,
+        )
+        k_rows = plan.row_blocks * plan.m
+        if k_rows * 64 * 128 >= 2 ** 31:
+            raise NotImplementedError(
+                f"int32 MXU accumulation bound exceeded (K={k_rows})")
+        if plan.w_prime > 8 * plan.limbs_used:
+            raise NotImplementedError(
+                f"w'={plan.w_prime} exceeds {plan.limbs_used} byte limbs")
+        if plan.bits + plan.shift > 64 - plan.shift:
+            # (v >> shift) mod 2^bits must be below the garbage-bit floor
+            raise NotImplementedError(f"L={l} too large for u64 carriage")
+        return plan
+
+    @property
+    def m(self) -> int:
+        return self.polynomial_size // self.l
+
+    @property
+    def two_l(self) -> int:
+        return 2 * self.l
+
+    @property
+    def shift(self) -> int:
+        """log2(2L): the inverse transform's deferred division."""
+        return self.two_l.bit_length() - 1
+
+    @property
+    def w_prime(self) -> int:
+        """Carried modulus width: results are exact mod 2^w_prime."""
+        return self.bits + self.shift
+
+    @property
+    def limbs_used(self) -> int:
+        return (self.w_prime + 7) // 8
+
+    @property
+    def n_words(self) -> int:
+        """u32 words per stored (u64) transformed-GGSW coefficient."""
+        return 2
+
+    @property
+    def limb_hi_drop(self) -> int:
+        return 4 * self.n_words - self.limbs_used
+
+    @property
+    def row_blocks(self) -> int:
+        """R' per frequency = level * (k+1) * n_sub."""
+        return self.level * self.glwe_size * self.n_sub
+
+    def sub_multiplier(self, sub: int) -> int:
+        return 1 << (bsx.MxuPlan.SUB_CHUNK_BITS * (self.n_sub - 1 - sub))
+
+
+def bsk_to_nuss(bsk_data, cfg: ServerConfig, l: int | None = None):
+    """[n, l, k+1, k+1, N] u32 BSK -> Nussbaumer-domain toeplitz rotation
+    rings [n, 2L*R', (k+1)*n_words, 2M] u32.
+
+    Per frequency z (bit-reversed transform order) and row block
+    (lev, sub, ki), the ring holds the balanced byte limbs of
+    (+/-) G_z * 2^(7*sub_weight) packed into u64 words, where
+    G_z = forward(chunk(g)) mod 2^64 — build_tables keeps limbs
+    0..limbs_used-1 (exact mod 2^w_prime; higher shifts vanish)."""
+    plan = NussPlan.from_config(cfg, l)
+    n_lwe, lv, ks1 = bsk_data.shape[0], plan.level, plan.glwe_size
+    m, two_l = plan.m, plan.two_l
+    bsk = np.asarray(bsk_data, dtype=np.uint32)
+    with np.errstate(over="ignore"):
+        g64 = bsk.astype(np.uint64)
+        # [n, l, k+1(row), k+1(col), 2L, M] u64, bit-reversed z order
+        gz = nb.forward(nb.chunk(g64, plan.l), plan.l)
+        rings = np.empty(
+            (n_lwe, two_l, plan.row_blocks, ks1, plan.n_words, 2 * m),
+            dtype=np.uint32)
+        blk = 0
+        for lev in range(lv):
+            for sub in range(plan.n_sub):
+                mult = np.uint64(plan.sub_multiplier(sub))
+                for ki in range(ks1):
+                    g = gz[:, lev, ki] * mult     # [n, k+1, 2L, M] wrapping
+                    g = np.moveaxis(g, 2, 1)      # [n, 2L, k+1, M]
+                    pos = bsx._limb_pack(g)
+                    neg = bsx._limb_pack((np.uint64(0) - g))
+                    for w in range(plan.n_words):
+                        sh = np.uint64(32 * w)
+                        rings[:, :, blk, :, w, :m] = (pos >> sh).astype(np.uint32)
+                        rings[:, :, blk, :, w, m:] = (neg >> sh).astype(np.uint32)
+                    blk += 1
+    return rings.reshape(
+        n_lwe, two_l * plan.row_blocks, ks1 * plan.n_words, 2 * m)
+
+
+def _digit_matrix_nuss(plan: NussPlan, diff):
+    """Gadget-decompose diff [k+1, B, N] u32, transform each digit
+    polynomial into the Nussbaumer domain, split the (grown) transformed
+    digits into balanced 7-bit chunks -> [2L, B, R'*M] i8 with per-z rows in
+    the (lev, sub, ki) block order of bsk_to_nuss."""
+    digits = decomposition.decompose_rounded(diff, plan.base_log, plan.level)
+    ks1 = diff.shape[0]
+    parts = []
+    for lev in range(plan.level):
+        d = digits[..., lev]                       # [k+1, B, N] i32
+        dz = nb.forward(nb.chunk(d, plan.l), plan.l)   # [k+1, B, 2L, M] i32
+        for dsub in bsx._split_subdigits(dz, plan.n_sub):
+            for ki in range(ks1):
+                # [B, 2L, M] -> [2L, B, M]
+                parts.append(jnp.moveaxis(dsub[ki], 1, 0).astype(jnp.int8))
+    return jnp.concatenate(parts, axis=2)          # [2L, B, R'*M]
+
+
+def _recombine_nuss(plan: NussPlan, s):
+    """Dot output s [2L, B, (k+1)*limbs*M] i32 -> accumulator update
+    [k+1, B, N] u32: per-frequency limb recombination into u64 (exact mod
+    2^w_prime), inverse polynomial transform over z, fold mod (Y^L - Z),
+    deferred division by 2L as a right shift."""
+    m, lu, ks1 = plan.m, plan.limbs_used, plan.glwe_size
+    outs = []
+    for kj in range(ks1):
+        base = kj * lu * m
+        o = s[..., base:base + m].astype(jnp.int64)
+        for j in range(1, lu):
+            c0 = base + j * m
+            o = o + (s[..., c0:c0 + m].astype(jnp.int64) << jnp.int64(8 * j))
+        outs.append(jax.lax.bitcast_convert_type(o, jnp.uint64))
+    oz = jnp.stack(outs, axis=0)                   # [k+1, 2L, B, M]
+    oz = jnp.moveaxis(oz, 2, 1)                    # [k+1, B, 2L, M]
+    c = nb.fold(nb.inverse_raw(oz, plan.l), plan.l)    # [k+1, B, L, M] u64
+    c = (c >> jnp.uint64(plan.shift)).astype(jnp.uint32)
+    return nb.unchunk(c, plan.l)                   # [k+1, B, N]
+
+
+def external_product_nuss(cfg: ServerConfig, rings, glwe, l: int | None = None):
+    """Nussbaumer-domain external product; glwe [..., k+1, N] u32; rings
+    [2L*R', (k+1)*n_words, 2M] u32 (one iteration's bsk_to_nuss slice)."""
+    plan = NussPlan.from_config(cfg, l)
+    lead = glwe.shape[:-2]
+    flat = glwe.reshape((-1,) + glwe.shape[-2:])
+    pbn = jnp.moveaxis(flat, 1, 0)                 # [k+1, B, N]
+    out = _extprod_nuss_pbn(plan, rings, pbn)
+    return jnp.moveaxis(out, 0, 1).reshape(lead + glwe.shape[-2:])
+
+
+def _extprod_nuss_pbn(plan: NussPlan, rings, pbn):
+    d8 = _digit_matrix_nuss(plan, pbn)             # [2L, B, R'M]
+    rhs = bsx.build_tables(
+        rings, plan.m, plan.n_words, 0, plan.limb_hi_drop)
+    rhs = rhs.reshape(plan.two_l, plan.row_blocks * plan.m, -1)
+    s = jax.lax.dot_general(
+        d8, rhs, (((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.int32)          # [2L, B, cols]
+    return _recombine_nuss(plan, s)
+
+
+def blind_rotate_nuss(cfg: ServerConfig, bsk_rings, lut, lwe, *,
+                      l: int | None = None,
+                      ms_offset: int = 0, lut_count_log: int = 0):
+    """Blind rotation with the Nussbaumer-domain CMux chain. Bit-identical
+    to blind_rotate_mxu / blind_rotate (all exact mod 2^32); the accumulator
+    stays in the standard domain (the per-iteration X^a rotation does not
+    commute with chunking), digits are transformed per iteration."""
+    plan = NussPlan.from_config(cfg, l)
+    N, ks1 = plan.polynomial_size, plan.glwe_size
+    lead = lwe.shape[:-1]
+    lwe_flat = lwe.reshape((-1, lwe.shape[-1]))
+    b = lwe_flat.shape[0]
+    b_hat = pbs_modulus_switch(lwe_flat[..., -1], N, ms_offset, lut_count_log)
+    a_hats = jnp.moveaxis(
+        pbs_modulus_switch(lwe_flat[..., :-1], N, ms_offset, lut_count_log),
+        -1, 0)
+
+    lut_b = jnp.broadcast_to(
+        lut.reshape((-1, ks1, N)) if lut.ndim > 2 else lut[None],
+        (b, ks1, N))
+    acc = jnp.moveaxis(lut_b, 1, 0)
+    acc = polynomial.negacyclic_monomial_div(acc, b_hat[None, :])
+
+    def step(acc, xs):
+        rings_i, a_hat = xs
+        rot = polynomial.negacyclic_monomial_mul(acc, a_hat[None, :])
+        return acc + _extprod_nuss_pbn(plan, rings_i, rot - acc), None
+
+    acc, _ = jax.lax.scan(step, acc, (bsk_rings, a_hats))
+    return jnp.moveaxis(acc, 0, 1).reshape(lead + (ks1, N))
+
+
+def bootstrap_nuss(cfg: ServerConfig, bsk_rings, lut, lwe, *,
+                   l: int | None = None):
+    """Full PBS on the Nussbaumer path (fourier/mod.rs:878-911)."""
+    return sample_extract(blind_rotate_nuss(cfg, bsk_rings, lut, lwe, l=l))
+
+
+def bootstrap_keyswitch_nuss(cfg: ServerConfig, bsk_rings, ksk, lut, lwe, *,
+                             l: int | None = None):
+    """PBS + keyswitch: the per-gate pipeline (server_key/mod.rs:133-166)."""
+    big = bootstrap_nuss(cfg, bsk_rings, lut, lwe, l=l)
+    if ksk.dtype == jnp.int8:
+        return lwe_ops.keyswitch_limbs(
+            ksk, big, base_log=cfg.ks_base_log, level_count=cfg.ks_level)
+    return lwe_ops.keyswitch(
+        ksk, big, base_log=cfg.ks_base_log, level_count=cfg.ks_level)
+
+
+@functools.lru_cache(maxsize=None)
+def jit_bootstrap_keyswitch_nuss(cfg: ServerConfig, l: int | None = None):
+    return jax.jit(functools.partial(bootstrap_keyswitch_nuss, cfg, l=l))

@@ -1,0 +1,114 @@
+"""Nussbaumer-domain external product: exactness and bit-identity.
+
+The Nussbaumer path (math/nussbaumer.py + core/bootstrap_nuss.py) computes
+the negacyclic N-product as 2L M-point toeplitz matmuls with rotation-only
+transforms. Everything is exact integer arithmetic, so the contract is
+BIT-IDENTITY: against the direct MXU toeplitz path where both exist
+(N <= 4096), and against the exact-NTT path at large N (8192) where the
+direct path refuses (its O(N^2) RHS). Reference surface being covered:
+polynomial sizes up to 16384, concrete-core .../math/fft/mod.rs:28.
+"""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from concrete_tpu.core import bootstrap as bs
+from concrete_tpu.core import bootstrap_mxu as bsx
+from concrete_tpu.core import bootstrap_nuss as bsn
+from concrete_tpu.math import nussbaumer as nb
+from concrete_tpu.math.polynomial import polymul_wrapping_naive
+
+
+def test_transform_polymul_exact():
+    """chunk/forward/pointwise/inverse/fold == schoolbook mod 2^32, with the
+    2L headroom carried in u64 lanes."""
+    rng = np.random.default_rng(0)
+
+    def mulm_naive(fa, fb):
+        fa, fb = np.asarray(fa), np.asarray(fb)
+        out = np.zeros_like(fa)
+        for idx in np.ndindex(fa.shape[:-1]):
+            out[idx] = polymul_wrapping_naive(fa[idx], fb[idx])
+        return out
+
+    for (n, l) in [(16, 2), (64, 4), (256, 8)]:
+        a32 = rng.integers(0, 1 << 32, n, dtype=np.uint32)
+        b32 = rng.integers(0, 1 << 32, n, dtype=np.uint32)
+        want = polymul_wrapping_naive(a32, b32)
+        with np.errstate(over="ignore"):
+            got = nb.negacyclic_polymul_nuss(
+                a32.astype(np.uint64), b32.astype(np.uint64), l,
+                mulm_naive).astype(np.uint32)
+        np.testing.assert_array_equal(want, got)
+
+
+def test_roundtrip_identity():
+    rng = np.random.default_rng(1)
+    x = rng.integers(0, 1 << 32, 128, dtype=np.uint32).astype(np.uint64)
+    for l in (2, 4, 8):
+        with np.errstate(over="ignore"):
+            back = nb.inverse_raw(nb.forward(nb.chunk(x, l), l), l)
+            want = nb.chunk(x, l) * np.uint64(2 * l)
+        np.testing.assert_array_equal(np.asarray(back), want)
+
+
+@pytest.mark.parametrize("n,k,N,bl,lv,L", [
+    (6, 1, 64, 7, 2, 2),
+    (5, 2, 128, 7, 3, 4),
+    (4, 1, 256, 8, 2, 8),     # digit sub-split both before and after
+])
+def test_bit_identity_vs_mxu(n, k, N, bl, lv, L):
+    rng = np.random.default_rng(2)
+    cfg = bs.ServerConfig(lwe_dimension=n, glwe_dimension=k,
+                          polynomial_size=N, pbs_base_log=bl, pbs_level=lv,
+                          ks_base_log=4, ks_level=3)
+    bsk_raw = rng.integers(0, 1 << 32, size=(n, lv, k + 1, k + 1, N),
+                           dtype=np.uint32)
+    rings_m = jnp.asarray(bsx.bsk_to_mxu(bsk_raw, cfg))
+    rings_n = jnp.asarray(bsn.bsk_to_nuss(bsk_raw, cfg, L))
+    lut = jnp.asarray(rng.integers(0, 1 << 32, size=(k + 1, N),
+                                   dtype=np.uint32))
+    lwe = jnp.asarray(rng.integers(0, 1 << 32, size=(4, n + 1),
+                                   dtype=np.uint32))
+    want = np.asarray(bsx.blind_rotate_mxu(cfg, rings_m, lut, lwe))
+    got = np.asarray(bsn.blind_rotate_nuss(cfg, rings_n, lut, lwe, l=L))
+    np.testing.assert_array_equal(want, got)
+
+
+@pytest.mark.slow
+def test_bit_identity_vs_ntt_large_n():
+    """N=8192: the direct MXU path refuses (O(N^2) RHS); the Nussbaumer path
+    must match the exact-NTT oracle bit for bit."""
+    rng = np.random.default_rng(3)
+    n, k, N, bl, lv = 3, 1, 8192, 7, 1
+    cfg = bs.ServerConfig(lwe_dimension=n, glwe_dimension=k,
+                          polynomial_size=N, pbs_base_log=bl, pbs_level=lv,
+                          ks_base_log=4, ks_level=3)
+    with pytest.raises(NotImplementedError):
+        bsx.MxuPlan.from_config(cfg)
+    from concrete_tpu.core.ggsw import bsk_to_ntt
+
+    bsk_raw = rng.integers(0, 1 << 32, size=(n, lv, k + 1, k + 1, N),
+                           dtype=np.uint32)
+    rings_n = jnp.asarray(bsn.bsk_to_nuss(bsk_raw, cfg))  # auto L
+    bsk_ntt = bsk_to_ntt(bsk_raw, cfg.primes, 32)
+    lut = jnp.asarray(rng.integers(0, 1 << 32, size=(k + 1, N),
+                                   dtype=np.uint32))
+    lwe = jnp.asarray(rng.integers(0, 1 << 32, size=(2, n + 1),
+                                   dtype=np.uint32))
+    want = np.asarray(bs.blind_rotate(cfg, bsk_ntt, lut, lwe))
+    got = np.asarray(bsn.blind_rotate_nuss(cfg, rings_n, lut, lwe))
+    np.testing.assert_array_equal(want, got)
+
+
+def test_plan_validation():
+    cfg = bs.ServerConfig(lwe_dimension=4, glwe_dimension=1,
+                          polynomial_size=64, pbs_base_log=7, pbs_level=2,
+                          ks_base_log=4, ks_level=3)
+    plan = bsn.NussPlan.from_config(cfg, 4)
+    assert plan.m == 16 and plan.two_l == 8 and plan.shift == 3
+    assert plan.w_prime == 35 and plan.limbs_used == 5
+    with pytest.raises(ValueError):
+        bsn.NussPlan.from_config(cfg, 16)  # L > M
+    assert nb.pick_l(8192) >= 8 and 8192 % nb.pick_l(8192) == 0
