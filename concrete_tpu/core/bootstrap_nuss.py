@@ -173,25 +173,61 @@ def _digit_matrix_nuss(plan: NussPlan, diff):
     """Gadget-decompose diff [k+1, B, N] u32, transform each digit
     polynomial into the Nussbaumer domain, split the (grown) transformed
     digits into balanced 7-bit chunks -> [2L, B, R'*M] i8 with per-z rows in
-    the (lev, sub, ki) block order of bsk_to_nuss."""
+    the (lev, sub, ki) block order of bsk_to_nuss.
+
+    The forward transform runs in i16 lanes when the grown digits fit
+    (|D| <= L * B/2 = 2^(bl_eff-1) <= 2^14): half the HBM bytes of i32 on
+    the dominant per-iteration tensor."""
     digits = decomposition.decompose_rounded(diff, plan.base_log, plan.level)
     ks1 = diff.shape[0]
+    bl_eff = plan.base_log + (plan.l.bit_length() - 1)
+    tdt = jnp.int16 if bl_eff <= 14 else jnp.int32
     parts = []
     for lev in range(plan.level):
-        d = digits[..., lev]                       # [k+1, B, N] i32
-        dz = nb.forward(nb.chunk(d, plan.l), plan.l)   # [k+1, B, 2L, M] i32
-        for dsub in bsx._split_subdigits(dz, plan.n_sub):
+        d = digits[..., lev].astype(tdt)           # [k+1, B, N]
+        dz = nb.forward(nb.chunk(d, plan.l), plan.l)   # [k+1, B, 2L, M]
+        for dsub in bsx._split_subdigits(dz.astype(jnp.int32), plan.n_sub):
             for ki in range(ks1):
                 # [B, 2L, M] -> [2L, B, M]
                 parts.append(jnp.moveaxis(dsub[ki], 1, 0).astype(jnp.int8))
     return jnp.concatenate(parts, axis=2)          # [2L, B, R'*M]
 
 
-def _recombine_nuss(plan: NussPlan, s):
-    """Dot output s [2L, B, (k+1)*limbs*M] i32 -> accumulator update
-    [k+1, B, N] u32: per-frequency limb recombination into u64 (exact mod
-    2^w_prime), inverse polynomial transform over z, fold mod (Y^L - Z),
-    deferred division by 2L as a right shift."""
+def _pair_add(al, ah, bl_, bh):
+    lo = al + bl_
+    return lo, ah + bh + (lo < al).astype(jnp.uint32)
+
+
+def _pair_sub(al, ah, bl_, bh):
+    borrow = (al < bl_).astype(jnp.uint32)
+    return al - bl_, ah - bh - borrow
+
+
+def _pair_negroll(lo, hi, shift: int):
+    """(lo, hi) * Z^shift in R_M, static shift, negacyclic on the last
+    axis — the u32 word-pair twin of nussbaumer._neg_roll_static (v5e
+    emulates i64/u64 lanes, so the 64-bit inverse transform runs on
+    explicit pairs instead)."""
+    m = lo.shape[-1]
+    shift = shift % (2 * m)
+    neg = shift >= m
+    shift = shift % m
+    if shift:
+        nl, nh = bsx._pair_neg(lo[..., m - shift:], hi[..., m - shift:])
+        lo = jnp.concatenate([nl, lo[..., : m - shift]], axis=-1)
+        hi = jnp.concatenate([nh, hi[..., : m - shift]], axis=-1)
+    if neg:
+        lo, hi = bsx._pair_neg(lo, hi)
+    return lo, hi
+
+
+def _recombine_nuss_u64(plan: NussPlan, s):
+    """u64-lane variant of _recombine_nuss: limb recombination into u64,
+    inverse transform + fold in u64, shift. i64 lanes are emulated on v5e
+    but XLA's emulation measured FASTER than the explicit pair form (823 vs
+    665 ms at N=8192/L=64/B=256 — the pair butterflies carry 2 planes plus
+    carries through every stage). Kept as the default; the pair form stays
+    selectable (CONCRETE_TPU_NUSS_INV=pair) for re-evaluation."""
     m, lu, ks1 = plan.m, plan.limbs_used, plan.glwe_size
     outs = []
     for kj in range(ks1):
@@ -205,6 +241,67 @@ def _recombine_nuss(plan: NussPlan, s):
     oz = jnp.moveaxis(oz, 2, 1)                    # [k+1, B, 2L, M]
     c = nb.fold(nb.inverse_raw(oz, plan.l), plan.l)    # [k+1, B, L, M] u64
     c = (c >> jnp.uint64(plan.shift)).astype(jnp.uint32)
+    return nb.unchunk(c, plan.l)                   # [k+1, B, N]
+
+
+def _recombine_nuss(plan: NussPlan, s):
+    """Dot output s [2L, B, (k+1)*limbs*M] i32 -> accumulator update
+    [k+1, B, N] u32: per-frequency limb recombination into u32 word pairs
+    (exact mod 2^w_prime <= 2^(8*limbs_used)), inverse polynomial transform
+    over z on the pairs, fold mod (Y^L - Z), deferred division by 2L as a
+    right shift. No i64/u64 lane ops (emulated on v5e)."""
+    import os
+
+    if os.environ.get("CONCRETE_TPU_NUSS_INV", "u64") != "pair":
+        return _recombine_nuss_u64(plan, s)
+    m, lu, ks1 = plan.m, plan.limbs_used, plan.glwe_size
+    los, his = [], []
+    for kj in range(ks1):
+        base = kj * lu * m
+        lo = jnp.zeros(s.shape[:-1] + (m,), jnp.uint32)
+        hi = jnp.zeros_like(lo)
+        for j in range(lu):
+            t = 8 * j
+            sm = s[..., base + j * m: base + (j + 1) * m]      # i32
+            smu = jax.lax.bitcast_convert_type(sm, jnp.uint32)
+            if t < 32:
+                c_lo = smu << jnp.uint32(t)
+                sh = 31 if t == 0 else 32 - t                  # arith shift
+                c_hi = jax.lax.bitcast_convert_type(
+                    sm >> jnp.int32(sh), jnp.uint32)
+                lo, hi = _pair_add(lo, hi, c_lo, c_hi)
+            else:
+                hi = hi + (smu << jnp.uint32(t - 32))
+        los.append(lo)
+        his.append(hi)
+    # [k+1, B, 2L, M] pairs
+    lo = jnp.moveaxis(jnp.stack(los, axis=0), 2, 1)
+    hi = jnp.moveaxis(jnp.stack(his, axis=0), 2, 1)
+    # inverse 2L-point polynomial transform on pairs (nb.inverse_raw twin)
+    two_l, root = plan.two_l, plan.m // plan.l
+    stages = two_l.bit_length() - 1
+    for st in reversed(range(stages)):
+        half = two_l >> (st + 1)
+        shp = lo.shape[:-2] + (1 << st, 2, half, m)
+        lr, hr = lo.reshape(shp), hi.reshape(shp)
+        ul, uh = lr[..., 0, :, :], hr[..., 0, :, :]
+        vl_in, vh_in = lr[..., 1, :, :], hr[..., 1, :, :]
+        vs = [_pair_negroll(vl_in[..., j, :], vh_in[..., j, :],
+                            -root * j * (1 << st))
+              for j in range(half)]
+        vl = jnp.stack([v[0] for v in vs], axis=-2)
+        vh = jnp.stack([v[1] for v in vs], axis=-2)
+        al, ah = _pair_add(ul, uh, vl, vh)
+        bl_, bh = _pair_sub(ul, uh, vl, vh)
+        out_shape = lo.shape[:-2] + (two_l, m)
+        lo = jnp.concatenate([al, bl_], axis=-2).reshape(out_shape)
+        hi = jnp.concatenate([ah, bh], axis=-2).reshape(out_shape)
+    # fold mod (Y^L - Z): out_t = c_t + Z * c_{t+L}
+    zl, zh = _pair_negroll(lo[..., plan.l:, :], hi[..., plan.l:, :], 1)
+    lo, hi = _pair_add(lo[..., :plan.l, :], hi[..., :plan.l, :], zl, zh)
+    # divide by 2L (the transforms are unnormalized): low 32 result bits
+    sh = jnp.uint32(plan.shift)
+    c = (lo >> sh) | (hi << jnp.uint32(32 - plan.shift))
     return nb.unchunk(c, plan.l)                   # [k+1, B, N]
 
 
