@@ -169,28 +169,31 @@ def bsk_to_nuss(bsk_data, cfg: ServerConfig, l: int | None = None):
         n_lwe, two_l * plan.row_blocks, ks1 * plan.n_words, 2 * m)
 
 
-def _digit_matrix_nuss(plan: NussPlan, diff):
-    """Gadget-decompose diff [k+1, B, N] u32, transform each digit
-    polynomial into the Nussbaumer domain, split the (grown) transformed
-    digits into balanced 7-bit chunks -> [2L, B, R'*M] i8 with per-z rows in
-    the (lev, sub, ki) block order of bsk_to_nuss.
+def _digit_matrix_nuss(plan: NussPlan, diff_cm):
+    """Gadget-decompose CHUNK-MAJOR diff [k+1, B, L, M] i32/u32, transform
+    each digit polynomial (already chunked — the layout makes chunking
+    free), split the (grown) transformed digits into balanced 7-bit chunks
+    -> [B, 2L, R'*M] i8 with per-z rows in the (lev, sub, ki) block order
+    of bsk_to_nuss. No transposes: the z axis lands where the batched dot
+    wants it.
 
     The forward transform runs in i16 lanes when the grown digits fit
     (|D| <= L * B/2 = 2^(bl_eff-1) <= 2^14): half the HBM bytes of i32 on
     the dominant per-iteration tensor."""
-    digits = decomposition.decompose_rounded(diff, plan.base_log, plan.level)
-    ks1 = diff.shape[0]
+    digits = decomposition.decompose_rounded(
+        diff_cm, plan.base_log, plan.level)        # [k+1, B, L, M, lv]
+    ks1 = diff_cm.shape[0]
     bl_eff = plan.base_log + (plan.l.bit_length() - 1)
     tdt = jnp.int16 if bl_eff <= 14 else jnp.int32
+    pad = jnp.zeros(diff_cm.shape[:-2] + (plan.l, plan.m), tdt)
     parts = []
     for lev in range(plan.level):
-        d = digits[..., lev].astype(tdt)           # [k+1, B, N]
-        dz = nb.forward(nb.chunk(d, plan.l), plan.l)   # [k+1, B, 2L, M]
+        d = digits[..., lev].astype(tdt)           # [k+1, B, L, M]
+        dz = nb.forward(jnp.concatenate([d, pad], axis=-2), plan.l)
         for dsub in bsx._split_subdigits(dz.astype(jnp.int32), plan.n_sub):
             for ki in range(ks1):
-                # [B, 2L, M] -> [2L, B, M]
-                parts.append(jnp.moveaxis(dsub[ki], 1, 0).astype(jnp.int8))
-    return jnp.concatenate(parts, axis=2)          # [2L, B, R'*M]
+                parts.append(dsub[ki].astype(jnp.int8))   # [B, 2L, M]
+    return jnp.concatenate(parts, axis=-1)         # [B, 2L, R'*M]
 
 
 def _pair_add(al, ah, bl_, bh):
@@ -240,8 +243,7 @@ def _recombine_nuss_u64(plan: NussPlan, s):
     oz = jnp.stack(outs, axis=0)                   # [k+1, 2L, B, M]
     oz = jnp.moveaxis(oz, 2, 1)                    # [k+1, B, 2L, M]
     c = nb.fold(nb.inverse_raw(oz, plan.l), plan.l)    # [k+1, B, L, M] u64
-    c = (c >> jnp.uint64(plan.shift)).astype(jnp.uint32)
-    return nb.unchunk(c, plan.l)                   # [k+1, B, N]
+    return (c >> jnp.uint64(plan.shift)).astype(jnp.uint32)  # chunk-major
 
 
 def _recombine_nuss(plan: NussPlan, s):
@@ -301,8 +303,7 @@ def _recombine_nuss(plan: NussPlan, s):
     lo, hi = _pair_add(lo[..., :plan.l, :], hi[..., :plan.l, :], zl, zh)
     # divide by 2L (the transforms are unnormalized): low 32 result bits
     sh = jnp.uint32(plan.shift)
-    c = (lo >> sh) | (hi << jnp.uint32(32 - plan.shift))
-    return nb.unchunk(c, plan.l)                   # [k+1, B, N]
+    return (lo >> sh) | (hi << jnp.uint32(32 - plan.shift))  # chunk-major
 
 
 def external_product_nuss(cfg: ServerConfig, rings, glwe, l: int | None = None):
@@ -312,17 +313,20 @@ def external_product_nuss(cfg: ServerConfig, rings, glwe, l: int | None = None):
     lead = glwe.shape[:-2]
     flat = glwe.reshape((-1,) + glwe.shape[-2:])
     pbn = jnp.moveaxis(flat, 1, 0)                 # [k+1, B, N]
-    out = _extprod_nuss_pbn(plan, rings, pbn)
+    cm = nb.chunk(pbn, plan.l)[..., :plan.l, :]    # chunk-major
+    out = nb.unchunk(_extprod_nuss_cm(plan, rings, cm), plan.l)
     return jnp.moveaxis(out, 0, 1).reshape(lead + glwe.shape[-2:])
 
 
-def _extprod_nuss_pbn(plan: NussPlan, rings, pbn):
-    d8 = _digit_matrix_nuss(plan, pbn)             # [2L, B, R'M]
+def _extprod_nuss_cm(plan: NussPlan, rings, diff_cm):
+    """Chunk-major external product core: diff [k+1, B, L, M] ->
+    update [k+1, B, L, M]."""
+    d8 = _digit_matrix_nuss(plan, diff_cm)         # [B, 2L, R'M]
     rhs = bsx.build_tables(
         rings, plan.m, plan.n_words, 0, plan.limb_hi_drop)
     rhs = rhs.reshape(plan.two_l, plan.row_blocks * plan.m, -1)
     s = jax.lax.dot_general(
-        d8, rhs, (((2,), (1,)), ((0,), (0,))),
+        d8, rhs, (((2,), (1,)), ((1,), (0,))),
         preferred_element_type=jnp.int32)          # [2L, B, cols]
     return _recombine_nuss(plan, s)
 
@@ -349,13 +353,18 @@ def blind_rotate_nuss(cfg: ServerConfig, bsk_rings, lut, lwe, *,
         (b, ks1, N))
     acc = jnp.moveaxis(lut_b, 1, 0)
     acc = polynomial.negacyclic_monomial_div(acc, b_hat[None, :])
+    # chunk-major [k+1, B, L, M] for the whole scan: chunking is then free
+    # inside the per-iteration digit transform, and the accumulator
+    # rotation runs in the chunked layout (nussbaumer.monomial_mul_chunked)
+    acc = nb.chunk(acc, plan.l)[..., :plan.l, :]
 
     def step(acc, xs):
         rings_i, a_hat = xs
-        rot = polynomial.negacyclic_monomial_mul(acc, a_hat[None, :])
-        return acc + _extprod_nuss_pbn(plan, rings_i, rot - acc), None
+        rot = nb.monomial_mul_chunked(acc, a_hat[None, :], plan.l)
+        return acc + _extprod_nuss_cm(plan, rings_i, rot - acc), None
 
     acc, _ = jax.lax.scan(step, acc, (bsk_rings, a_hats))
+    acc = nb.unchunk(acc, plan.l)
     return jnp.moveaxis(acc, 0, 1).reshape(lead + (ks1, N))
 
 

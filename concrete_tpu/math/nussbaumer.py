@@ -163,6 +163,41 @@ def fold(c2l, l: int):
     return low + high
 
 
+def monomial_mul_chunked(c, degree, l: int):
+    """c * X^degree on CHUNK-MAJOR data c [..., L, M] (the chunk(x, l)
+    layout without the zero padding), degree an int32 array broadcastable
+    against the leading axes. Standard coefficient n = j*L + i lives at
+    chunk i position j; X^(2^b) maps (i, j) -> (i + r mod L, j + q + carry)
+    with 2^b = q*L + r and the Z^M = -1 wrap negating — i.e. a chunk-axis
+    roll whose wrapped chunks get one extra negacyclic Z-roll. Barrel form:
+    log2(2N) static stages gated by the degree bits, exactly like
+    polynomial.negacyclic_monomial_mul but never leaving the chunk layout.
+    """
+    xp = _xp(c)
+    m = c.shape[-1]
+    n = l * m
+    deg = degree % (2 * n)
+    if xp is jnp:
+        deg = jnp.asarray(deg, dtype=jnp.int32)
+    lead_shape = xp.broadcast_shapes(c.shape[:-2], deg.shape)
+    x = xp.broadcast_to(c, lead_shape + (l, m))
+    deg = xp.broadcast_to(deg, lead_shape)[..., None, None]
+    nbits = (2 * n - 1).bit_length()
+    for bit in range(nbits):
+        s = (1 << bit) % (2 * n)
+        q, r = divmod(s, l)
+        if r == 0:
+            rolled = _neg_roll_static(x, q)
+        else:
+            # chunks L-r..L-1 wrap to the front with an extra Z step
+            hi = _neg_roll_static(x[..., l - r:, :], q + 1)
+            lo = _neg_roll_static(x[..., : l - r, :], q)
+            rolled = xp.concatenate([hi, lo], axis=-2)
+        take = (deg >> bit) & 1
+        x = xp.where(take == 1, rolled, x)
+    return x
+
+
 def negacyclic_polymul_nuss(a, b, l: int, mulm):
     """Exact a*b mod (X^N+1, 2^w) through the Nussbaumer domain — the
     reference composition used by the tests. `mulm(x, y)` must compute the
