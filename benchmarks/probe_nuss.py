@@ -153,8 +153,120 @@ def stage_ntt(N=8192, B=256):
     print(f"-> {B/best:.0f} PBS/s", flush=True)
 
 
+def stage_breakdown(N=8192, B=256, L=None):
+    """Per-stage steady-state timing of one CMux iteration's components,
+    each as its own jitted dispatch (no cross-stage overlap — identifies
+    the dominant stage, sums can exceed the fused pipeline time)."""
+    rng = np.random.default_rng(0)
+    cfg = _largen_cfg(N)
+    plan = bsn.NussPlan.from_config(cfg, L)
+    L = plan.l
+    ks1, m = plan.glwe_size, plan.m
+    print(f"N={N} L={L} M={m} n_sub'={plan.n_sub} w'={plan.w_prime} "
+          f"lu={plan.limbs_used} R'={plan.row_blocks}", flush=True)
+    bsk_raw = rng.integers(0, 1 << 32, size=(1, cfg.pbs_level, ks1, ks1, N),
+                           dtype=np.uint32)
+    rings1 = jnp.asarray(bsn.bsk_to_nuss(bsk_raw, cfg, L)[0])
+    acc = jnp.asarray(rng.integers(0, 1 << 32, (ks1, B, L, m),
+                                   dtype=np.uint32))
+    ah = jnp.asarray(rng.integers(0, 2 * N, (B,)).astype(np.int32))
+    s = jnp.asarray(rng.integers(-(1 << 24), 1 << 24,
+                                 (plan.two_l, B, ks1 * plan.limbs_used * m),
+                                 dtype=np.int32))
+    from concrete_tpu.math import nussbaumer as nb
+
+    def dig(a):
+        return bsn._digit_matrix_nuss(plan, a)
+
+    d8c = jax.jit(dig)(acc)
+
+    def dot(d8, rings_i):
+        rhs = bsx.build_tables(rings_i, plan.m, plan.n_words, 0,
+                               plan.limb_hi_drop)
+        rhs = rhs.reshape(plan.two_l, plan.row_blocks * plan.m, -1)
+        return jax.lax.dot_general(
+            d8, rhs, (((2,), (1,)), ((1,), (0,))),
+            preferred_element_type=jnp.int32)
+
+    stages = [
+        ("rotate", jax.jit(lambda a, d: nb.monomial_mul_chunked(a, d[None, :], L)),
+         (acc, ah)),
+        ("digits+fwd", jax.jit(dig), (acc,)),
+        ("tables+dot", jax.jit(dot), (d8c, rings1)),
+        ("recombine+inv", jax.jit(lambda x: bsn._recombine_nuss(plan, x)), (s,)),
+    ]
+    for tag, fn, args in stages:
+        _timed(tag, fn, *args, reps=5)
+
+
+def stage_ablate(N=8192, B=256, L=None, iters=100):
+    """Subtractive attribution: run the full CMux scan with one stage
+    ablated at a time (the single-dispatch RTT floor ~28 ms on this tunnel
+    swamps per-stage timings — this measures each stage's marginal cost
+    inside the real 100-iteration scan, overlap included)."""
+    rng = np.random.default_rng(0)
+    cfg = _largen_cfg(N)
+    plan = bsn.NussPlan.from_config(cfg, L)
+    L = plan.l
+    ks1, m = plan.glwe_size, plan.m
+    print(f"N={N} L={L} M={m} n_sub'={plan.n_sub} w'={plan.w_prime} "
+          f"lu={plan.limbs_used} R'={plan.row_blocks}", flush=True)
+    bsk_raw = rng.integers(0, 1 << 32,
+                           size=(iters, cfg.pbs_level, ks1, ks1, N),
+                           dtype=np.uint32)
+    rings = jnp.asarray(bsn.bsk_to_nuss(bsk_raw, cfg, L))
+    acc0 = jnp.asarray(rng.integers(0, 1 << 32, (ks1, B, L, m),
+                                    dtype=np.uint32))
+    ahs = jnp.asarray(rng.integers(0, 2 * N, (iters, B)).astype(np.int32))
+    from concrete_tpu.math import nussbaumer as nb
+
+    def mk(ablate):
+        def step(acc, xs):
+            rings_i, a_hat = xs
+            rot = (acc if ablate == "rotate" else
+                   nb.monomial_mul_chunked(acc, a_hat[None, :], L))
+            diff = rot - acc
+            if ablate == "digits":
+                d8 = jnp.broadcast_to(
+                    diff[0, :, :1, :1].astype(jnp.int8),
+                    (B, plan.two_l, plan.row_blocks * m))
+            else:
+                d8 = bsn._digit_matrix_nuss(plan, diff)
+            if ablate == "dot":
+                s_ = jnp.broadcast_to(
+                    d8[:1, :, :1].astype(jnp.int32).transpose(1, 0, 2),
+                    (plan.two_l, B, ks1 * plan.limbs_used * m))
+            else:
+                rhs = bsx.build_tables(rings_i, m, plan.n_words, 0,
+                                       plan.limb_hi_drop)
+                rhs = rhs.reshape(plan.two_l, plan.row_blocks * m, -1)
+                s_ = jax.lax.dot_general(
+                    d8, rhs, (((2,), (1,)), ((1,), (0,))),
+                    preferred_element_type=jnp.int32)
+            if ablate == "recombine":
+                upd = s_[:, :, :1].sum(axis=0).astype(jnp.uint32)[
+                    None, :, None, :] * jnp.ones((ks1, 1, L, m), jnp.uint32)
+                upd = upd[..., :m]
+            else:
+                upd = bsn._recombine_nuss(plan, s_)
+            return acc + upd, None
+
+        def run(a0, rings_, ahs_):
+            out, _ = jax.lax.scan(step, a0, (rings_, ahs_))
+            return out
+
+        return jax.jit(run)
+
+    _, full = _timed("full", mk(None), acc0, rings, ahs, reps=3)
+    for ab in ("rotate", "digits", "dot", "recombine"):
+        _, t = _timed(f"minus-{ab}", mk(ab), acc0, rings, ahs, reps=3)
+        print(f"  -> {ab} marginal {1e3*(full-t):.0f} ms of "
+              f"{1e3*full:.0f}", flush=True)
+
+
 if __name__ == "__main__":
     cmd = sys.argv[1] if len(sys.argv) > 1 else "bitid"
     args = [int(a) for a in sys.argv[2:]]
-    {"bitid": stage_bitid, "tfhe": stage_tfhe,
-     "largen": stage_largen, "ntt": stage_ntt}[cmd](*args)
+    {"bitid": stage_bitid, "tfhe": stage_tfhe, "largen": stage_largen,
+     "ntt": stage_ntt, "breakdown": stage_breakdown,
+     "ablate": stage_ablate}[cmd](*args)

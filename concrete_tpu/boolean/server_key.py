@@ -57,6 +57,7 @@ import numpy as np
 
 from ..core import bootstrap as bs
 from ..core import bootstrap_mxu as bsx
+from ..core import bootstrap_nuss as bsn
 from ..core.ggsw import StandardBootstrapKey, bsk_to_ntt
 from ..core.lwe import LweKeyswitchKey
 from ..csprng import EncryptionRandomGenerator
@@ -76,10 +77,13 @@ class ServerKey:
     form is derived lazily per backend:
     - "mxu": limb-packed toeplitz rotation rings driving the int8 MXU path
       (core/bootstrap_mxu.py) — the fast path on TPU;
+    - "nuss": Nussbaumer-domain toeplitz rings (core/bootstrap_nuss.py) —
+      the MXU fast path for N > 4096 where the direct toeplitz RHS is too
+      large (2L M-point matmuls, O(N^2/L) MACs);
     - "ntt": exact prime-NTT spectra (core/bootstrap.py) — portable, and the
       only u64-capable path.
-    "auto" resolves to mxu on TPU hardware, ntt elsewhere. Both backends are
-    exact mod 2^32 and bit-identical.
+    "auto" resolves on TPU hardware to mxu (N <= 4096) or nuss (larger N),
+    ntt elsewhere. All backends are exact mod 2^32 and bit-identical.
     """
 
     ksk: jax.Array      # [kN, l_ks, n+1] uint32
@@ -88,6 +92,7 @@ class ServerKey:
     backend: str = "auto"
     _bsk_ntt: jax.Array | None = dataclasses.field(default=None, repr=False)
     _bsk_mxu: jax.Array | None = dataclasses.field(default=None, repr=False)
+    _bsk_nuss: jax.Array | None = dataclasses.field(default=None, repr=False)
     _ksk8: jax.Array | None = dataclasses.field(default=None, repr=False)
     # batch tiers precompiled by warmup(); _pad_size pads sub-tier requests
     # up to the smallest warmed tier so a warmed server never compiles a
@@ -100,10 +105,14 @@ class ServerKey:
             return self.backend
         if not (bsx._on_tpu() and self.cfg.bits == 32):
             return "ntt"
-        try:  # configs outside the mxu plan's envelope fall back to ntt
+        try:  # configs outside the mxu plan's envelope fall back to nuss
             bsx.MxuPlan.from_config(self.cfg)
         except NotImplementedError:
-            return "ntt"
+            try:  # large N: Nussbaumer-domain MXU path
+                bsn.NussPlan.from_config(self.cfg)
+            except (NotImplementedError, ValueError):
+                return "ntt"
+            return "nuss"
         return "mxu"
 
     @property
@@ -120,9 +129,19 @@ class ServerKey:
                 bsx.bsk_to_mxu(self.bsk_standard, self.cfg))
         return self._bsk_mxu
 
+    @property
+    def bsk_nuss(self) -> jax.Array:
+        if self._bsk_nuss is None:
+            self._bsk_nuss = jnp.asarray(
+                bsn.bsk_to_nuss(self.bsk_standard, self.cfg))
+        return self._bsk_nuss
+
     def _bootstrap_keys(self):
-        if self.resolved_backend() == "mxu":
+        backend = self.resolved_backend()
+        if backend == "mxu":
             return self.bsk_mxu
+        if backend == "nuss":
+            return self.bsk_nuss
         return self.bsk_ntt
 
     def _keyswitch_key(self):
@@ -130,7 +149,7 @@ class ServerKey:
         faster contraction); the u32 tensor elsewhere."""
         from ..core import lwe as lwe_ops
 
-        if (self.resolved_backend() == "mxu" and self.cfg.ks_base_log <= 7
+        if (self.resolved_backend() in ("mxu", "nuss") and self.cfg.ks_base_log <= 7
                 and self.ksk.shape[0] * self.ksk.shape[1] * 8192 < 2 ** 31):
             if self._ksk8 is None:
                 self._ksk8 = jnp.asarray(
@@ -163,7 +182,7 @@ class ServerKey:
         return dataclasses.replace(
             self, cfg=cfg,
             bsk_standard=self.bsk_standard[:, :cfg.pbs_level],
-            _bsk_ntt=None, _bsk_mxu=None)
+            _bsk_ntt=None, _bsk_mxu=None, _bsk_nuss=None)
 
     @classmethod
     def new(
@@ -392,7 +411,9 @@ _GATE_LIN = {
 def _gate_pipeline(cfg: bs.ServerConfig, backend: str, gate: str):
     """jit(linear combination + PBS with constant 1/8 accumulator +
     keyswitch) — the full gate in one dispatch."""
-    bks = bsx.bootstrap_keyswitch_mxu if backend == "mxu" else bs.bootstrap_keyswitch
+    bks = {"mxu": bsx.bootstrap_keyswitch_mxu,
+           "nuss": bsn.bootstrap_keyswitch_nuss}.get(
+        backend, bs.bootstrap_keyswitch)
     lin_fn, offset = _GATE_LIN[gate]
 
     def run(bsk, ksk, a, b):
@@ -405,7 +426,8 @@ def _gate_pipeline(cfg: bs.ServerConfig, backend: str, gate: str):
 
 @functools.lru_cache(maxsize=None)
 def _mux_pipeline(cfg: bs.ServerConfig, backend: str):
-    pbs_fn = bsx.bootstrap_mxu if backend == "mxu" else bs.bootstrap
+    pbs_fn = {"mxu": bsx.bootstrap_mxu,
+              "nuss": bsn.bootstrap_nuss}.get(backend, bs.bootstrap)
 
     def run(bsk, ksk, c, t, e):
         lut = bs.trivial_lut_constant(cfg, PLAINTEXT_TRUE)

@@ -54,12 +54,49 @@ class NussPlan:
     bits: int = 32
 
     @classmethod
+    def best_l(cls, cfg: ServerConfig) -> int:
+        """Config-aware default chunk count: enumerate every feasible L and
+        minimize the per-iteration MXU work 2L * n_sub * limbs * M^2 (the
+        dot MACs and the expanded-RHS bytes both scale with it), tying to
+        the SMALLER L (fewer rotation-only transform stages, larger M-point
+        matmul tiles). On-TPU sweep at N=8192 (benchmarks/probe_nuss.py):
+        the MACs model and the measurement agree on L=32 over the earlier
+        static pick_l choice of 16.
+
+        >>> from concrete_tpu.core.bootstrap import ServerConfig
+        >>> cfg = ServerConfig(lwe_dimension=100, glwe_dimension=1,
+        ...     polynomial_size=8192, pbs_base_log=2, pbs_level=3,
+        ...     ks_base_log=2, ks_level=5)
+        >>> NussPlan.best_l(cfg)
+        32
+        """
+        n = cfg.polynomial_size
+        best, best_cost = None, None
+        l = 2
+        while l * l <= n:
+            m = n // l
+            if l * m == n and m % l == 0:
+                try:
+                    plan = cls.from_config(cfg, l)
+                except (NotImplementedError, ValueError):
+                    l *= 2
+                    continue
+                cost = 2 * l * plan.n_sub * plan.limbs_used * m * m
+                if best_cost is None or cost < best_cost:
+                    best, best_cost = l, cost
+            l *= 2
+        if best is None:
+            raise NotImplementedError(
+                f"no feasible Nussbaumer chunking for N={n}")
+        return best
+
+    @classmethod
     def from_config(cls, cfg: ServerConfig, l: int | None = None) -> "NussPlan":
         if cfg.bits != 32:
             raise NotImplementedError("nussbaumer path: u32 torus first")
         n = cfg.polynomial_size
         if l is None:
-            l = nb.pick_l(n)
+            l = cls.best_l(cfg)
         m = n // l
         if l * m != n or m % l != 0:
             raise ValueError(f"need L | M (N={n}, L={l}, M={m})")

@@ -112,3 +112,47 @@ def test_plan_validation():
     with pytest.raises(ValueError):
         bsn.NussPlan.from_config(cfg, 16)  # L > M
     assert nb.pick_l(8192) >= 8 and 8192 % nb.pick_l(8192) == 0
+
+
+def test_best_l_model():
+    """Config-aware default L: minimizes 2L*n_sub*limbs*M^2 over feasible
+    chunkings, tying to the smaller L."""
+    mk = lambda N, bl: bs.ServerConfig(
+        lwe_dimension=8, glwe_dimension=1, polynomial_size=N,
+        pbs_base_log=bl, pbs_level=3, ks_base_log=2, ks_level=5)
+    # bl=2: n_sub stays 1 through L=32 (bl_eff=7); L=64 doubles n_sub for
+    # the same MACs -> 32 wins the tie by coming first
+    assert bsn.NussPlan.best_l(mk(8192, 2)) == 32
+    # bl=7: every feasible L has n_sub=2, so the largest L (fewest MACs)
+    # wins outright
+    assert bsn.NussPlan.best_l(mk(8192, 7)) == 64
+    l16 = bsn.NussPlan.best_l(mk(16384, 2))
+    assert 16384 % l16 == 0 and (16384 // l16) % l16 == 0
+
+
+def test_server_key_nuss_backend():
+    """Full boolean gate through ServerKey with backend='nuss': decrypts to
+    the right truth table and is bit-identical to the ntt backend."""
+    import dataclasses
+
+    from concrete_tpu import boolean
+    from common import TINY
+
+    cks, sks = boolean.gen_keys(TINY, secret_seed=1, mask_seed=2,
+                                noise_seed=3)
+    assert bsn.NussPlan.from_config(
+        bs.ServerConfig.from_boolean_parameters(TINY)).l >= 2
+    sks_nuss = dataclasses.replace(sks, backend="nuss")
+    sks_ntt = dataclasses.replace(sks, backend="ntt")
+    a = np.array([False, True, False, True])
+    b = np.array([False, False, True, True])
+    ca = cks.encrypt(a, mask_seed=20, noise_seed=21)
+    cb = cks.encrypt(b, mask_seed=22, noise_seed=23)
+    got = sks_nuss.and_(ca, cb)
+    np.testing.assert_array_equal(
+        np.asarray(got), np.asarray(sks_ntt.and_(ca, cb)))
+    np.testing.assert_array_equal(cks.decrypt(got), a & b)
+    # mux pipeline too (two stacked PBS through the nuss path)
+    got_mux = sks_nuss.mux(ca, cb, ca)
+    np.testing.assert_array_equal(
+        np.asarray(got_mux), np.asarray(sks_ntt.mux(ca, cb, ca)))
