@@ -41,6 +41,29 @@ _ENV_COORD = "CONCRETE_TPU_MH_COORDINATOR"
 _ENV_DEV = "CONCRETE_TPU_MH_LOCAL_DEVICES"
 
 
+def worker_env(pid: int, n_processes: int, coordinator: str,
+               devices_per_process: int) -> dict:
+    """The CONCRETE_TPU_MH_* environment block one worker process needs.
+
+    Pure: computes the mapping `run()` injects into each spawned worker so
+    `initialize_from_env` can reassemble the jax.distributed topology.
+
+    >>> env = worker_env(1, 2, "localhost:1234", 4)
+    >>> env["CONCRETE_TPU_MH_PROCESS_ID"], env["CONCRETE_TPU_MH_NUM_PROCESSES"]
+    ('1', '2')
+    >>> env["CONCRETE_TPU_MH_COORDINATOR"]
+    'localhost:1234'
+    >>> env["CONCRETE_TPU_MH_LOCAL_DEVICES"]
+    '4'
+    """
+    return {
+        _ENV_ID: str(pid),
+        _ENV_N: str(n_processes),
+        _ENV_COORD: coordinator,
+        _ENV_DEV: str(devices_per_process),
+    }
+
+
 def initialize_from_env():
     """jax.distributed.initialize from the CONCRETE_TPU_MH_* variables; must
     run before any jax backend use. Returns (process_id, num_processes)."""
@@ -182,12 +205,8 @@ def run(n_processes: int = 2, devices_per_process: int = 4,
     for pid in range(n_processes):
         env = dict(os.environ)
         env.pop("XLA_FLAGS", None)
-        env.update({
-            _ENV_ID: str(pid),
-            _ENV_N: str(n_processes),
-            _ENV_COORD: f"localhost:{port}",
-            _ENV_DEV: str(devices_per_process),
-        })
+        env.update(worker_env(pid, n_processes, f"localhost:{port}",
+                              devices_per_process))
         procs.append(subprocess.Popen(
             [sys.executable, "-m", "concrete_tpu.parallel.multihost"],
             env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
