@@ -20,6 +20,9 @@ Subcommands (args: [steps] [batch], defaults 8 / 512):
   pipe1  [n] [B]    full production pipeline with CONCRETE_TPU_DEFER=2
                     (single-output kernel in blind_rotate_mxu's scan),
                     bit-identity-checked against the default path
+  pipe3  [n] [B]    CONCRETE_TPU_DEFER=3 (dot-first pairing: S consumed by
+                    the SAME iteration's kernel, carry = (acc, d8) — no S
+                    across the scan boundary), bit-identity-checked
 """
 
 import os
@@ -37,7 +40,15 @@ from concrete_tpu.core import bootstrap_mxu as bsx
 
 
 def _cfg(steps):
-    p = TPU128_PARAMETERS
+    """Probe config: TPU128 shape by default; set
+    CONCRETE_TPU_PROBE_PARAMS=tfhe_lib|default for the reference presets."""
+    sel = os.environ.get("CONCRETE_TPU_PROBE_PARAMS", "tpu128")
+    if sel == "tfhe_lib":
+        from concrete_tpu.params import TFHE_LIB_PARAMETERS as p
+    elif sel == "default":
+        from concrete_tpu.params import DEFAULT_PARAMETERS as p
+    else:
+        p = TPU128_PARAMETERS
     from concrete_tpu.core.bootstrap import ServerConfig
 
     return ServerConfig(
@@ -181,14 +192,15 @@ def main():
                    jax.jit(kern), s, accl, ah)
         return
 
-    if cmd == "pipe1":
+    if cmd in ("pipe1", "pipe3"):
         import os
 
         cfg = _cfg(steps)
         bsk, lut, lwe = _tensors(cfg, b)
-        os.environ["CONCRETE_TPU_DEFER"] = "2"
+        mode = "2" if cmd == "pipe1" else "3"
+        os.environ["CONCRETE_TPU_DEFER"] = mode
         fn = jax.jit(lambda k, u, w: bsx.blind_rotate_mxu(cfg, k, u, w))
-        got = _timed(f"pipe1 (DEFER=2) n={steps} B={b}", fn, bsk, lut, lwe)
+        got = _timed(f"{cmd} (DEFER={mode}) n={steps} B={b}", fn, bsk, lut, lwe)
         os.environ["CONCRETE_TPU_DEFER"] = "0"
         want = np.asarray(
             jax.jit(lambda k, u, w: bsx.blind_rotate_mxu(cfg, k, u, w))(

@@ -1011,8 +1011,48 @@ def blind_rotate_mxu(cfg: ServerConfig, bsk_rings, lut, lwe, *,
     # chip for every caller.
     defer_mode = os.environ.get("CONCRETE_TPU_DEFER", "0")
     # the deferred kernels emit single-sub digit rows only (n_sub == 1)
-    use_defer = (defer_mode in ("1", "2") and plan.n_sub == 1
+    use_defer = (defer_mode in ("1", "2", "3") and plan.n_sub == 1
                  and _rotdig_kernel_active(plan) and not use_fused)
+    if use_defer and defer_mode == "3":
+        # Dot-first pairing: iteration i's dot output S feeds iteration i's
+        # OWN kernel call, so S never crosses the scan boundary — the carry
+        # is (acc, d8), both kernel outputs and 8x smaller than S. Round-4
+        # probing narrowed the compile hang to the S-carry-into-kernel scan
+        # composition specifically; this form removes that edge while
+        # keeping the win (the XLA recombine+accumulate HLO disappears; the
+        # S read rides the kernel's DMA pipeline under the barrel-rotation
+        # compute). Step j consumes rings_{j-1} (for the pending dot) and
+        # a_hat_j, so the rings xs is shifted by one and the last dot +
+        # recombine land after the scan.
+        with jax.enable_x64(False):
+            kern = _rotdig_recombine_pallas(
+                ks1, N, b, plan.base_log, plan.level,
+                plan.limbs_used, plan.limb_drop)
+
+        def step_deferred3(carry, xs):
+            acc_c, d8_prev = carry
+            rings_prev, a_hat = xs
+            rhs = build_tables(rings_prev, N, plan.n_words, plan.limb_drop)
+            s_prev = jax.lax.dot_general(
+                d8_prev, rhs, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32)
+            with jax.enable_x64(False):
+                acc_new, d8 = kern(
+                    s_prev, acc_c, a_hat.astype(jnp.int32)[:, None])
+            return (acc_new, d8), None
+
+        rings_shift = jnp.concatenate(
+            [jnp.zeros_like(bsk_rings[:1]), bsk_rings[:-1]], axis=0)
+        d8_0 = jnp.zeros((b, plan.row_blocks * N), jnp.int8)
+        (acc, d8_last), _ = jax.lax.scan(
+            step_deferred3, (acc, d8_0), (rings_shift, a_hats),
+            unroll=unroll)
+        rhs = build_tables(bsk_rings[-1], N, plan.n_words, plan.limb_drop)
+        s_last = jax.lax.dot_general(
+            d8_last, rhs, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32)
+        acc = acc + recombine_limb_planes(plan, s_last)
+        return jnp.moveaxis(acc, 0, 1).reshape(lead + (ks1, N))
     if use_defer and defer_mode == "2":
         # Single-output deferred form: acc rides as centered i8 byte limbs
         # so the kernel has ONE output (see _rotdig_recombine_pallas1).

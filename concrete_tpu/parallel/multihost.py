@@ -189,10 +189,73 @@ def _worker() -> None:
     check("tp-across-hosts tp=%d" % n_proc,
           Mesh(np.array(devices).reshape(n_proc, -1).T.copy(), ("dp", "tp")))
 
+    # --- production shape: REAL TPU128 keys (n=630, k=4, N=256) ----------
+    # The toy config above is the fast tier; this stage rehearses the real
+    # key-broadcast width (~70 MB server-key class) and psum widths. The
+    # client key is deterministic from the shared seed, so every host
+    # derives it locally (it is tiny); the SERVER keys are generated on
+    # proc 0 only and broadcast — the actual DCN setup cost of the design.
+    # Reference gate flow: concrete-boolean/src/server_key/mod.rs:55-166.
+    if not os.environ.get("CONCRETE_TPU_MH_FAST"):
+        from concrete_tpu import boolean as bool_api
+        from concrete_tpu.boolean.client_key import PLAINTEXT_TRUE
+        from concrete_tpu.params import TPU128_PARAMETERS
+
+        cks = bool_api.ClientKey.new(TPU128_PARAMETERS, secret_seed=101)
+        cfg_t = bs.ServerConfig.from_boolean_parameters(TPU128_PARAMETERS)
+        plan_t = bsx.MxuPlan.from_config(cfg_t)
+        if pid == 0:
+            sks = bool_api.ServerKey.new(cks, mask_seed=102, noise_seed=103)
+            rings_t = np.asarray(sks.bsk_mxu)
+            ksk_t = np.asarray(sks.ksk)
+        else:
+            rings_t = np.zeros(
+                (cfg_t.lwe_dimension, plan_t.row_blocks, cfg_t.glwe_size,
+                 2 * cfg_t.polynomial_size), np.uint32)
+            ksk_t = np.zeros(
+                (cfg_t.big_lwe_dimension, cfg_t.ks_level,
+                 cfg_t.lwe_dimension + 1), np.uint32)
+        mb = (rings_t.nbytes + ksk_t.nbytes) / 1e6
+        rings_t = replicate_from_host0(rings_t)
+        ksk_t = replicate_from_host0(ksk_t)
+        assert rings_t.any() and ksk_t.any(), "real-key broadcast zeros"
+
+        batch = 4 * len(devices)
+        rng = np.random.default_rng(11)
+        av = rng.integers(0, 2, batch).astype(bool)
+        bv = rng.integers(0, 2, batch).astype(bool)
+        # fixed encryption seeds -> identical ciphertext batch on every host
+        ca = cks.encrypt(av, mask_seed=7, noise_seed=8)
+        cb = cks.encrypt(bv, mask_seed=9, noise_seed=10)
+        with np.errstate(over="ignore"):
+            lin_t = ca + cb                                  # AND combo
+            lin_t[..., -1] += np.uint32((-int(PLAINTEXT_TRUE)) % (1 << 32))
+        lut_t = bs.trivial_lut_constant(cfg_t, PLAINTEXT_TRUE)
+        ref_t = np.asarray(bsx.bootstrap_keyswitch_mxu(
+            cfg_t, jnp.asarray(rings_t), jnp.asarray(ksk_t), lut_t,
+            jnp.asarray(lin_t)))
+        assert np.array_equal(cks.decrypt(ref_t), av & bv)
+        mesh = Mesh(np.array(devices).reshape(-1, 2), ("dp", "tp"))
+        fn = gate_pipeline_dp_tp_mxu(cfg_t, mesh)
+        out = fn(make_global(mesh, P(None, "tp"), rings_t),
+                 make_global(mesh, P("tp"), ksk_t),
+                 make_global(mesh, P(), np.asarray(lut_t)),
+                 make_global(mesh, P("dp"), lin_t))
+        for shard in out.addressable_shards:
+            assert np.array_equal(np.asarray(shard.data), ref_t[shard.index])
+        full = np.asarray(multihost_utils.process_allgather(out, tiled=True))
+        assert np.array_equal(full, ref_t), "real keys: allgather mismatch"
+        assert np.array_equal(cks.decrypt(full), av & bv)
+        print(f"  [proc {pid}] TPU128 real keys (n=630 k=4 N=256, "
+              f"{mb:.0f} MB key broadcast): dp-across-hosts "
+              f"encrypt->AND->decrypt OK, bit-identical OK", flush=True)
+
     multihost_utils.sync_global_devices("done")
     if pid == 0:
+        tiers = ("toy matrix" if os.environ.get("CONCRETE_TPU_MH_FAST")
+                 else "toy matrix + TPU128 real keys")
         print(f"multihost worker matrix OK ({n_proc} processes x "
-              f"{ndev_local} devices)", flush=True)
+              f"{ndev_local} devices; {tiers})", flush=True)
 
 
 def run(n_processes: int = 2, devices_per_process: int = 4,
