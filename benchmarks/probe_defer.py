@@ -16,13 +16,13 @@ Subcommands (args: [steps] [batch], defaults 8 / 512):
   barrier [n] [B]   full body + lax.optimization_barrier on the carry
   xla    [n] [B]    the production (non-deferred) body, for compile-time
                     comparison at the same scan length
-  grid1  [batch]    standalone SINGLE-OUTPUT kernel (_rotdig_recombine_pallas1)
-  pipe1  [n] [B]    full production pipeline with CONCRETE_TPU_DEFER=2
-                    (single-output kernel in blind_rotate_mxu's scan),
-                    bit-identity-checked against the default path
   pipe3  [n] [B]    CONCRETE_TPU_DEFER=3 (dot-first pairing: S consumed by
                     the SAME iteration's kernel, carry = (acc, d8) — no S
-                    across the scan boundary), bit-identity-checked
+                    across the scan boundary), bit-identity-checked.
+                    ROUND-5 RESOLUTION: this form compiles clean everywhere
+                    (the DEFER=1/2 S-carry compositions hung the toolchain
+                    and were removed); it wins iff S > ~100 MB/CMux — the
+                    production "auto" rule in blind_rotate_mxu.
 """
 
 import os
@@ -171,33 +171,12 @@ def main():
                    jax.jit(kern), s, acc, ah)
         return
 
-    if cmd == "grid1":
-        b = steps if len(sys.argv) > 2 else 2048  # arg2 is batch here
-        cfg = _cfg(4)
-        plan = bsx.MxuPlan.from_config(cfg)
-        ks1, N = plan.glwe_size, plan.polynomial_size
-        rng = np.random.default_rng(0)
-        with jax.enable_x64(False):
-            kern = bsx._rotdig_recombine_pallas1(
-                ks1, N, b, plan.base_log, plan.level,
-                plan.limbs_used, plan.limb_drop)
-            s = jnp.asarray(rng.integers(
-                -(1 << 20), 1 << 20,
-                size=(b, ks1 * plan.limbs_used * N)).astype(np.int32))
-            accl = bsx.acc_to_limbs(jnp.asarray(rng.integers(
-                0, 1 << 32, size=(ks1, b, N), dtype=np.uint32)))
-            ah = jnp.asarray(rng.integers(
-                0, 2 * N, size=(b, 1)).astype(np.int32))
-            _timed(f"grid1 standalone B={b} (grid={max(1, b // 512)})",
-                   jax.jit(kern), s, accl, ah)
-        return
-
-    if cmd in ("pipe1", "pipe3"):
+    if cmd == "pipe3":
         import os
 
         cfg = _cfg(steps)
         bsk, lut, lwe = _tensors(cfg, b)
-        mode = "2" if cmd == "pipe1" else "3"
+        mode = "3"
         os.environ["CONCRETE_TPU_DEFER"] = mode
         fn = jax.jit(lambda k, u, w: bsx.blind_rotate_mxu(cfg, k, u, w))
         got = _timed(f"{cmd} (DEFER={mode}) n={steps} B={b}", fn, bsk, lut, lwe)

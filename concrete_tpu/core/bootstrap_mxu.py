@@ -491,10 +491,12 @@ def _rotdig_pallas(ks1: int, n: int, b: int, base_log: int, level: int,
 
 
 def _pair_neg(lo, hi):
-    """-(x) mod 2^64 on a (lo, hi) u32 word pair: the borrow out of the low
-    word is 1 exactly when lo != 0."""
-    nz = (lo != np.uint32(0)).astype(jnp.uint32)
-    return np.uint32(0) - lo, (np.uint32(0) - hi) - nz
+    """-(x) mod 2^(2w) on a (lo, hi) word pair: the borrow out of the low
+    word is 1 exactly when lo != 0. Dtype-generic (u32 pairs in the Mosaic
+    kernels; u64 pairs in the Nussbaumer u64-torus recombine)."""
+    zero = lo.dtype.type(0)
+    nz = (lo != zero).astype(lo.dtype)
+    return zero - lo, (zero - hi) - nz
 
 
 def _kernel_barrel_rotate_pair(lo, hi, ah, n: int):
@@ -588,6 +590,7 @@ def _rotdig_pallas64(ks1: int, n: int, b: int, base_log: int, level: int,
 @functools.lru_cache(maxsize=None)
 def _rotdig_recombine_pallas(ks1: int, n: int, b: int, base_log: int,
                              level: int, limbs_used: int, limb_drop: int,
+                             n_sub: int = 1,
                              interpret: bool = False,
                              tile: int | None = None):
     """The rotdig kernel with the PREVIOUS iteration's limb recombination +
@@ -612,7 +615,7 @@ def _rotdig_recombine_pallas(ks1: int, n: int, b: int, base_log: int,
         while b % tile:
             tile //= 2
     n_tiles = b // tile
-    r_blocks = level * ks1
+    r_blocks = level * ks1 * n_sub
 
     def kernel(s_ref, acc_ref, ah_ref, accn_ref, o_ref):
         ah = ah_ref[:, :1]                                   # [T, 1] i32
@@ -623,7 +626,8 @@ def _rotdig_recombine_pallas(ks1: int, n: int, b: int, base_log: int,
             x = acc_ref[ki] + jax.lax.bitcast_convert_type(o, jnp.uint32)
             accn_ref[ki] = x
             rot = _kernel_barrel_rotate(x, ah, n)
-            _kernel_emit_digits(o_ref, rot - x, ki, ks1, n, base_log, level)
+            _kernel_emit_digits(o_ref, rot - x, ki, ks1, n, base_log, level,
+                                n_sub=n_sub)
 
     return pl.pallas_call(
         kernel,
@@ -650,108 +654,6 @@ def _rotdig_recombine_pallas(ks1: int, n: int, b: int, base_log: int,
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
     )
-
-
-@functools.lru_cache(maxsize=None)
-def _rotdig_recombine_pallas1(ks1: int, n: int, b: int, base_log: int,
-                              level: int, limbs_used: int, limb_drop: int,
-                              interpret: bool = False,
-                              tile: int | None = None):
-    """Single-output form of the deferred-recombine kernel: the accumulator
-    rides through the scan as CENTERED byte limbs (i8, batch-major), so the
-    kernel has exactly one output buffer
-    ``[B, (ks1*4 + R)*N] i8`` = (acc_new limbs ‖ digit matrix).
-
-    Why this variant exists: the multi-output `_rotdig_recombine_pallas`
-    compiles standalone but the full-pipeline compile (kernel inside the
-    630-step scan) hangs the remote toolchain; the prime suspect is the
-    multi-output custom call whose outputs both feed the scan carry. This
-    form is traffic-neutral — acc as 4 byte limbs is the same bytes as u32 —
-    and the pack/unpack is a few VPU ops hidden under the barrel rotation.
-
-    Limb encoding: byte v in [0, 255] is stored as i8 (v - 128); the kernel
-    reconstructs x = sum_j ((l_j + 128) << 8j). `acc_to_limbs` /
-    `limbs_to_acc` are the XLA-side converters for scan entry/exit.
-    """
-    from jax.experimental import pallas as pl
-    from jax.experimental.pallas import tpu as pltpu
-
-    if tile is None:
-        tile = min(b, 512)
-        while b % tile:
-            tile //= 2
-    n_tiles = b // tile
-    r_blocks = level * ks1
-    a_cols = ks1 * 4 * n                 # acc-limb column count
-
-    def kernel(s_ref, al_ref, ah_ref, o_ref):
-        ah = ah_ref[:, :1]                                   # [T, 1] i32
-        for ki in range(ks1):
-            o = _kernel_recombine_limbs(s_ref, ki, limbs_used, limb_drop, n)
-            # reconstruct the carried accumulator from centered byte limbs
-            a = jnp.zeros_like(o)
-            for j in range(4):
-                c0 = (ki * 4 + j) * n
-                lj = al_ref[:, c0:c0 + n].astype(jnp.int32) + jnp.int32(128)
-                a = a + (lj << jnp.int32(8 * j))
-            x = jax.lax.bitcast_convert_type(a + o, jnp.uint32)
-            # emit acc_new's centered byte limbs
-            for j in range(4):
-                c0 = (ki * 4 + j) * n
-                v = ((x >> np.uint32(8 * j)) & np.uint32(0xFF))
-                v = jax.lax.bitcast_convert_type(v, jnp.int32) - jnp.int32(128)
-                o_ref[:, c0:c0 + n] = v.astype(jnp.int8)
-            rot = _kernel_barrel_rotate(x, ah, n)
-            _kernel_emit_digits(o_ref, rot - x, ki, ks1, n, base_log, level,
-                                col_base=a_cols)
-
-    return pl.pallas_call(
-        kernel,
-        grid=(n_tiles,),
-        in_specs=[
-            pl.BlockSpec((tile, ks1 * limbs_used * n), lambda t: (t, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((tile, a_cols), lambda t: (t, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((tile, 1), lambda t: (t, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((tile, a_cols + r_blocks * n),
-                               lambda t: (t, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((b, a_cols + r_blocks * n), jnp.int8),
-        compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=100 * 1024 * 1024),
-        interpret=interpret,
-    )
-
-
-def acc_to_limbs(acc):
-    """[k+1, B, N] u32 -> [B, (k+1)*4*N] i8 centered byte limbs (the scan
-    carry layout of `_rotdig_recombine_pallas1`)."""
-    ks1, b, n = acc.shape
-    parts = []
-    for ki in range(ks1):
-        x = acc[ki]
-        for j in range(4):
-            v = ((x >> np.uint32(8 * j)) & np.uint32(0xFF))
-            v = jax.lax.bitcast_convert_type(v, jnp.int32) - jnp.int32(128)
-            parts.append(v.astype(jnp.int8))
-    return jnp.concatenate(parts, axis=1)
-
-
-def limbs_to_acc(limbs, ks1: int, n: int):
-    """Inverse of `acc_to_limbs`: [B, (k+1)*4*N] i8 -> [k+1, B, N] u32."""
-    outs = []
-    for ki in range(ks1):
-        a = None
-        for j in range(4):
-            c0 = (ki * 4 + j) * n
-            lj = limbs[:, c0:c0 + n].astype(jnp.int32) + jnp.int32(128)
-            term = lj << jnp.int32(8 * j)
-            a = term if a is None else a + term
-        outs.append(a)
-    return jax.lax.bitcast_convert_type(jnp.stack(outs, axis=0), jnp.uint32)
 
 
 def _rotdig_kernel_active(plan: MxuPlan) -> bool:
@@ -1005,15 +907,33 @@ def blind_rotate_mxu(cfg: ServerConfig, bsk_rings, lut, lwe, *,
 
     unroll = int(os.environ.get("CONCRETE_TPU_SCAN_UNROLL", "1"))
 
-    # Deferred-recombine is opt-in (CONCRETE_TPU_DEFER=1) until the fused
-    # kernel's on-TPU compile is validated at the gate shapes — a hung
-    # Mosaic compile on the default path would wedge the (single-tenant)
-    # chip for every caller.
-    defer_mode = os.environ.get("CONCRETE_TPU_DEFER", "0")
-    # the deferred kernels emit single-sub digit rows only (n_sub == 1)
-    use_defer = (defer_mode in ("1", "2", "3") and plan.n_sub == 1
-                 and _rotdig_kernel_active(plan) and not use_fused)
-    if use_defer and defer_mode == "3":
+    # Deferred recombine. Three scan compositions exist; the round-3/4
+    # compile hang was isolated to the dot-output S crossing the scan
+    # carry into the kernel (DEFER=1 multi-output and DEFER=2 single-
+    # output both hang the remote toolchain). The round-5 DEFER=3 form
+    # consumes S inside the SAME iteration (carry = (acc, d8), rings xs
+    # shifted by one) — no S across the scan boundary — and compiles
+    # clean at every production shape. "auto" (the default) picks 3 or 0
+    # by the measured S-traffic crossover above.
+    defer_mode = os.environ.get("CONCRETE_TPU_DEFER", "auto")
+    if defer_mode == "auto":
+        # Measured crossover (v5e, round 5, probe_defer sweeps at TPU128 /
+        # TFHE_LIB / DEFAULT shapes): the dot-first deferred kernel beats
+        # the XLA recombine+accumulate exactly where XLA's fusion goes
+        # superlinear — when the per-CMux dot output S exceeds ~100 MB.
+        # Below that, XLA's recombine is at its single-pass floor and the
+        # Mosaic kernel's slower HBM streaming loses 4-15%. Numbers in
+        # docs/performance.md "deferred recombine".
+        s_bytes = b * ks1 * plan.limbs_used * N * 4
+        defer_mode = "3" if s_bytes > 100e6 else "0"
+    # the kernel emits n_sub <= 2 digit rows (DEFAULT's bl=8 included);
+    # modes "1"/"2" (S-carry compositions) were REMOVED in round 5 — they
+    # hang the remote toolchain (see the comment block above) and the
+    # dot-first form supersedes them on the same kernel
+    use_defer = (defer_mode == "3" and plan.n_sub <= 2
+                 and plan.bits == 32 and _on_tpu() and not use_fused
+                 and os.environ.get("CONCRETE_TPU_ROTDIG", "1") == "1")
+    if use_defer:
         # Dot-first pairing: iteration i's dot output S feeds iteration i's
         # OWN kernel call, so S never crosses the scan boundary — the carry
         # is (acc, d8), both kernel outputs and 8x smaller than S. Round-4
@@ -1027,7 +947,7 @@ def blind_rotate_mxu(cfg: ServerConfig, bsk_rings, lut, lwe, *,
         with jax.enable_x64(False):
             kern = _rotdig_recombine_pallas(
                 ks1, N, b, plan.base_log, plan.level,
-                plan.limbs_used, plan.limb_drop)
+                plan.limbs_used, plan.limb_drop, plan.n_sub)
 
         def step_deferred3(carry, xs):
             acc_c, d8_prev = carry
@@ -1053,63 +973,6 @@ def blind_rotate_mxu(cfg: ServerConfig, bsk_rings, lut, lwe, *,
             preferred_element_type=jnp.int32)
         acc = acc + recombine_limb_planes(plan, s_last)
         return jnp.moveaxis(acc, 0, 1).reshape(lead + (ks1, N))
-    if use_defer and defer_mode == "2":
-        # Single-output deferred form: acc rides as centered i8 byte limbs
-        # so the kernel has ONE output (see _rotdig_recombine_pallas1).
-        with jax.enable_x64(False):
-            kern = _rotdig_recombine_pallas1(
-                ks1, N, b, plan.base_log, plan.level,
-                plan.limbs_used, plan.limb_drop)
-        a_cols = ks1 * 4 * N
-
-        def step_deferred1(carry, xs):
-            accl_c, s_prev = carry
-            rings_i, a_hat = xs
-            with jax.enable_x64(False):
-                out = kern(s_prev, accl_c, a_hat.astype(jnp.int32)[:, None])
-            accl_new, d8 = out[:, :a_cols], out[:, a_cols:]
-            rhs = build_tables(rings_i, N, plan.n_words, plan.limb_drop)
-            s_new = jax.lax.dot_general(
-                d8, rhs, (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.int32)
-            return (accl_new, s_new), None
-
-        s0 = jnp.zeros((b, ks1 * plan.limbs_used * N), jnp.int32)
-        (accl, s_last), _ = jax.lax.scan(
-            step_deferred1, (acc_to_limbs(acc), s0), (bsk_rings, a_hats),
-            unroll=unroll)
-        acc = limbs_to_acc(accl, ks1, N) + recombine_limb_planes(plan, s_last)
-        return jnp.moveaxis(acc, 0, 1).reshape(lead + (ks1, N))
-    if use_defer:
-        # Deferred-recombine pipeline: iteration i's limb recombination +
-        # accumulator update is folded into iteration i+1's rotdig kernel
-        # (the S read hides under the barrel-rotation compute), so the
-        # superlinear XLA recombine stage vanishes from the serial HLO
-        # schedule. The carry is (raw acc, pending dot output); one tail
-        # recombine lands after the scan.
-        with jax.enable_x64(False):
-            kern = _rotdig_recombine_pallas(
-                ks1, N, b, plan.base_log, plan.level,
-                plan.limbs_used, plan.limb_drop)
-
-        def step_deferred(carry, xs):
-            acc_c, s_prev = carry
-            rings_i, a_hat = xs
-            with jax.enable_x64(False):
-                acc_new, d8 = kern(
-                    s_prev, acc_c, a_hat.astype(jnp.int32)[:, None])
-            rhs = build_tables(rings_i, N, plan.n_words, plan.limb_drop)
-            s_new = jax.lax.dot_general(
-                d8, rhs, (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.int32)
-            return (acc_new, s_new), None
-
-        s0 = jnp.zeros((b, ks1 * plan.limbs_used * N), jnp.int32)
-        (acc, s_last), _ = jax.lax.scan(
-            step_deferred, (acc, s0), (bsk_rings, a_hats), unroll=unroll)
-        acc = acc + recombine_limb_planes(plan, s_last)
-        return jnp.moveaxis(acc, 0, 1).reshape(lead + (ks1, N))
-
     if _rotdig64_kernel_active(plan) and not use_fused:
         return _blind_rotate_u64_planes(
             plan, bsk_rings, acc, a_hats, unroll, lead)

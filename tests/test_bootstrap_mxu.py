@@ -386,6 +386,41 @@ def test_rotdig_recombine_pallas_interpret_matches_xla(ks1, n, bl, l, drop):
 
 
 @pytest.mark.parametrize("ks1,n,bl,l,n_sub", [(3, 128, 8, 2, 2),
+                                              (2, 64, 12, 2, 2)])
+def test_rotdig_recombine_pallas_nsub_interpret_matches_xla(ks1, n, bl, l,
+                                                            n_sub):
+    """The deferred-recombine kernel with sub-digit splitting (DEFAULT's
+    bl=8 regime rides DEFER=3 through this) must match the XLA composition
+    exactly like the n_sub=1 form does."""
+    from concrete_tpu.math import polynomial
+
+    plan = bsx.MxuPlan(
+        lwe_dimension=4, glwe_size=ks1, polynomial_size=n, base_log=bl,
+        level=l, n_sub=n_sub, ks_base_log=2, ks_level=3)
+    rng = np.random.default_rng(41)
+    B = 16
+    acc = jnp.asarray(rng.integers(0, 1 << 32, size=(ks1, B, n),
+                                   dtype=np.uint32))
+    s_prev = jnp.asarray(rng.integers(
+        -(1 << 30), 1 << 30, size=(B, ks1 * plan.limbs_used * n),
+        dtype=np.int32))
+    a_hat = jnp.asarray(
+        np.concatenate([rng.integers(0, 2 * n, size=B - 3),
+                        [0, n, 2 * n - 1]]).astype(np.int32))
+    acc_new_want = np.asarray(acc + bsx.recombine_limb_planes(plan, s_prev))
+    rot = polynomial.negacyclic_monomial_mul(
+        jnp.asarray(acc_new_want), a_hat.astype(jnp.uint32)[None, :])
+    d8_want = np.asarray(bsx._digit_matrix(plan, rot - acc_new_want))
+    with jax.enable_x64(False):
+        kern = bsx._rotdig_recombine_pallas(
+            ks1, n, B, bl, l, plan.limbs_used, plan.limb_drop, n_sub,
+            interpret=True)
+        acc_new, d8 = kern(s_prev, acc, a_hat[:, None])
+    np.testing.assert_array_equal(np.asarray(acc_new), acc_new_want)
+    np.testing.assert_array_equal(np.asarray(d8), d8_want)
+
+
+@pytest.mark.parametrize("ks1,n,bl,l,n_sub", [(3, 128, 8, 2, 2),
                                               (2, 64, 12, 2, 2),
                                               (2, 64, 15, 2, 3)])
 def test_rotdig_pallas_nsub2_interpret_matches_xla(ks1, n, bl, l, n_sub):
@@ -411,55 +446,6 @@ def test_rotdig_pallas_nsub2_interpret_matches_xla(ks1, n, bl, l, n_sub):
         kern = bsx._rotdig_pallas(ks1, n, B, bl, l, n_sub, interpret=True)
         got = np.asarray(kern(acc, a_hat.astype(jnp.int32)[:, None]))
     np.testing.assert_array_equal(got, want)
-
-
-def test_acc_limb_roundtrip():
-    """acc_to_limbs / limbs_to_acc invert each other (the i8 centered-limb
-    scan-carry layout of the single-output deferred kernel)."""
-    rng = np.random.default_rng(5)
-    acc = jnp.asarray(rng.integers(0, 1 << 32, size=(3, 8, 64),
-                                   dtype=np.uint32))
-    limbs = bsx.acc_to_limbs(acc)
-    assert limbs.dtype == jnp.int8 and limbs.shape == (8, 3 * 4 * 64)
-    back = np.asarray(bsx.limbs_to_acc(limbs, 3, 64))
-    np.testing.assert_array_equal(back, np.asarray(acc))
-
-
-@pytest.mark.parametrize("ks1,n,bl,l,drop", [(5, 256, 7, 2, 0),
-                                             (3, 64, 7, 2, 1)])
-def test_rotdig_recombine_pallas1_interpret_matches_xla(ks1, n, bl, l, drop):
-    """Single-output deferred kernel (acc carried as centered i8 byte limbs,
-    one fused output buffer) must match the XLA composition exactly like the
-    multi-output form does."""
-    from concrete_tpu.math import polynomial
-
-    plan = bsx.MxuPlan(
-        lwe_dimension=4, glwe_size=ks1, polynomial_size=n, base_log=bl,
-        level=l, n_sub=1, ks_base_log=2, ks_level=3, limb_drop=drop)
-    rng = np.random.default_rng(17)
-    B = 16
-    acc = jnp.asarray(rng.integers(0, 1 << 32, size=(ks1, B, n),
-                                   dtype=np.uint32))
-    s_prev = jnp.asarray(rng.integers(
-        -(1 << 30), 1 << 30, size=(B, ks1 * plan.limbs_used * n),
-        dtype=np.int32))
-    a_hat = jnp.asarray(
-        np.concatenate([rng.integers(0, 2 * n, size=B - 3),
-                        [0, n, 2 * n - 1]]).astype(np.int32))
-    acc_new_want = np.asarray(acc + bsx.recombine_limb_planes(plan, s_prev))
-    rot = polynomial.negacyclic_monomial_mul(
-        jnp.asarray(acc_new_want), a_hat.astype(jnp.uint32)[None, :])
-    d8_want = np.asarray(bsx._digit_matrix(plan, rot - acc_new_want))
-    a_cols = ks1 * 4 * n
-    with jax.enable_x64(False):
-        kern = bsx._rotdig_recombine_pallas1(
-            ks1, n, B, bl, l, plan.limbs_used, plan.limb_drop,
-            interpret=True)
-        out = kern(s_prev, bsx.acc_to_limbs(acc), a_hat[:, None])
-    accl_new, d8 = out[:, :a_cols], out[:, a_cols:]
-    acc_new = np.asarray(bsx.limbs_to_acc(accl_new, ks1, n))
-    np.testing.assert_array_equal(acc_new, acc_new_want)
-    np.testing.assert_array_equal(np.asarray(d8), d8_want)
 
 
 @pytest.mark.parametrize("drop", [0, 2])
