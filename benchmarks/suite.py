@@ -68,11 +68,11 @@ def main():
     B = args.batch
     results = []
 
-    def record(op, params_name, dt, unit_count):
+    def record(op, params_name, dt, unit_count, batch=None):
         rec = {
             "op": op,
             "params": params_name,
-            "batch": B,
+            "batch": batch if batch is not None else B,
             "ms": round(dt * 1e3, 4),
             "per_s": round(unit_count / dt, 1),
         }
@@ -288,6 +288,37 @@ def main():
             return bc + jnp.pad(out, ((0, 0), (0, bc.shape[1] - out.shape[1])))
         record("keyswitch_u64 (limb planes)", "n630_N1024_l7",
                time_device(ks64_step, big64, reps=16), B)
+
+    # Nussbaumer-domain backend: the N > 4096 production path (the direct
+    # toeplitz RHS is O(N^2); the reference reaches N <= 16384 through FFTW,
+    # concrete-core .../math/fft/mod.rs:28). Same engine-bench shape as the
+    # pbs_sweep rows, pushed past the mxu envelope; u32 + u64 torus.
+    if wanted("nuss"):
+        from concrete_tpu.core import bootstrap_nuss as bsn
+
+        Bn = min(B, 256)  # large-N rows: batch capped by the N=16384 VMEM/HBM
+        for N in ([8192] if args.quick else [8192, 16384]):
+            for bits_n in (32, 64):
+                dtn = np.uint32 if bits_n == 32 else np.uint64
+                cfgN = bs.ServerConfig(
+                    lwe_dimension=100, glwe_dimension=1, polynomial_size=N,
+                    pbs_base_log=2, pbs_level=3, ks_base_log=2, ks_level=5,
+                    bits=bits_n)
+                planN = bsn.NussPlan.from_config(cfgN)
+                bsk_rawN = rng.integers(
+                    0, 1 << bits_n, size=(100, 3, 2, 2, N), dtype=dtn)
+                t0 = time.perf_counter()
+                ringsN = jnp.asarray(bsn.bsk_to_nuss(bsk_rawN, cfgN))
+                record(f"bsk_to_nuss_N{N}_u{bits_n}", f"n100_l3_L{planN.l}",
+                       time.perf_counter() - t0, 1, batch=Bn)
+                lutN = bs.trivial_lut_constant(
+                    cfgN, dtn(1) << dtn(bits_n - 3))
+                ctsN = jnp.asarray(rng.integers(
+                    0, 1 << bits_n, size=(Bn, 101), dtype=dtn))
+                fN = jax.jit(lambda r, c, cfg=cfgN, lut=lutN, L=planN.l:
+                             bsn.bootstrap_nuss(cfg, r, lut, c, l=L))
+                record(f"pbs_nuss_N{N}_u{bits_n} (L={planN.l})", "n100_l3",
+                       _timeit(fN, ringsN, ctsN), Bn, batch=Bn)
 
     # PBS sweep over polynomial sizes — the reference's engine-bench grid
     # (concrete-benchmark/src/generics/lwe_ciphertext_discarding_bootstrap.rs:

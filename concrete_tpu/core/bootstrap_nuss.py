@@ -11,12 +11,14 @@ That puts N = 8192 and 16384 on the MXU fast path; the reference supports
 exactly these sizes through FFTW (concrete-core .../math/fft/mod.rs:28).
 
 Exactness: every step is integer arithmetic. Digits are transformed as
-exact (wrapping i32) integers; GGSW chunks are transformed mod 2^64 and
-limb-packed keeping ceil((bits + log2(2L)) / 8) byte limbs — enough that
-the recombined products are exact mod 2^(8*limbs) >= 2^(bits + log2(2L)),
-so after the inverse transform the known factor 2L divides out as a right
-shift. The whole pipeline is BIT-IDENTICAL to the direct toeplitz path and
-the NTT path (tests/test_nussbaumer.py).
+exact (wrapping i32) integers; GGSW chunks are transformed mod
+2^(bits + log2(2L)) — u64 words for the u32 torus, host-side (lo, hi) u64
+pairs (128-bit carriage) for the u64 torus — and limb-packed keeping
+ceil((bits + log2(2L)) / 8) byte limbs, enough that the recombined
+products are exact mod 2^(8*limbs) >= 2^(bits + log2(2L)), so after the
+inverse transform the known factor 2L divides out as a right shift. The
+whole pipeline is BIT-IDENTICAL to the direct toeplitz path and the NTT
+path on BOTH torus widths (tests/test_nussbaumer.py).
 
 Reference algorithm being replaced: blind_rotate / external_product
 (crypto/bootstrap/fourier/mod.rs:463-726) — same semantics, TPU-native
@@ -92,8 +94,8 @@ class NussPlan:
 
     @classmethod
     def from_config(cls, cfg: ServerConfig, l: int | None = None) -> "NussPlan":
-        if cfg.bits != 32:
-            raise NotImplementedError("nussbaumer path: u32 torus first")
+        if cfg.bits not in (32, 64):
+            raise NotImplementedError("nussbaumer path: u32/u64 torus only")
         n = cfg.polynomial_size
         if l is None:
             l = cls.best_l(cfg)
@@ -120,11 +122,10 @@ class NussPlan:
         if k_rows * 64 * 128 >= 2 ** 31:
             raise NotImplementedError(
                 f"int32 MXU accumulation bound exceeded (K={k_rows})")
-        if plan.w_prime > 8 * plan.limbs_used:
-            raise NotImplementedError(
-                f"w'={plan.w_prime} exceeds {plan.limbs_used} byte limbs")
-        if plan.bits + plan.shift > 64 - plan.shift:
-            # (v >> shift) mod 2^bits must be below the garbage-bit floor
+        if plan.bits == 32 and plan.bits + plan.shift > 64 - plan.shift:
+            # u32 torus is carried in u64 words host-side: (v >> shift)
+            # mod 2^bits must be below the garbage-bit floor. The u64 torus
+            # rides (lo, hi) u64 pairs (128-bit carriage) — no analog limit.
             raise NotImplementedError(f"L={l} too large for u64 carriage")
         return plan
 
@@ -152,8 +153,10 @@ class NussPlan:
 
     @property
     def n_words(self) -> int:
-        """u32 words per stored (u64) transformed-GGSW coefficient."""
-        return 2
+        """u32 words per stored transformed-GGSW coefficient (2 for the u32
+        torus carried in u64, 3 for the u64 torus carried in 128-bit pairs
+        — only the words holding kept byte limbs are stored)."""
+        return (self.limbs_used + 3) // 4
 
     @property
     def limb_hi_drop(self) -> int:
@@ -168,6 +171,126 @@ class NussPlan:
         return 1 << (bsx.MxuPlan.SUB_CHUNK_BITS * (self.n_sub - 1 - sub))
 
 
+# --- host-side 128-bit pair arithmetic (u64-torus key preparation) --------
+# The u64 torus needs the forward transform carried mod 2^(64 + shift);
+# numpy has no u128, so values ride (lo, hi) u64 pairs with explicit
+# carries. Host-only code (key conversion), mirrors math/nussbaumer.py.
+
+
+def _np_pair_add(al, ah, bl_, bh):
+    with np.errstate(over="ignore"):
+        lo = al + bl_
+        return lo, ah + bh + (lo < al).astype(np.uint64)
+
+
+def _np_pair_sub(al, ah, bl_, bh):
+    with np.errstate(over="ignore"):
+        borrow = (al < bl_).astype(np.uint64)
+        return al - bl_, ah - bh - borrow
+
+
+def _np_pair_neg(lo, hi):
+    with np.errstate(over="ignore"):
+        nz = (lo != np.uint64(0)).astype(np.uint64)
+        return np.uint64(0) - lo, (np.uint64(0) - hi) - nz
+
+
+def _np_pair_negroll(lo, hi, shift: int):
+    """(lo, hi) * Z^shift in R_M (negacyclic last axis), static shift."""
+    m = lo.shape[-1]
+    shift %= 2 * m
+    neg = shift >= m
+    shift %= m
+    if shift:
+        nl, nh = _np_pair_neg(lo[..., m - shift:], hi[..., m - shift:])
+        lo = np.concatenate([nl, lo[..., : m - shift]], axis=-1)
+        hi = np.concatenate([nh, hi[..., : m - shift]], axis=-1)
+    if neg:
+        lo, hi = _np_pair_neg(lo, hi)
+    return lo, hi
+
+
+def _np_forward_pair(lo, hi, l: int):
+    """nussbaumer.forward on host (lo, hi) u64 pairs: cyclic 2L-point
+    polynomial transform mod 2^128, bit-reversed output order."""
+    two_l, m = lo.shape[-2], lo.shape[-1]
+    root = m // l
+    for s in range(two_l.bit_length() - 1):
+        half = two_l >> (s + 1)
+        shp = lo.shape[:-2] + (1 << s, 2 * half, m)
+        lr, hr = lo.reshape(shp), hi.reshape(shp)
+        al_, ah_ = lr[..., :half, :], hr[..., :half, :]
+        bl_, bh_ = lr[..., half:, :], hr[..., half:, :]
+        sl, sh = _np_pair_add(al_, ah_, bl_, bh_)
+        dl, dh = _np_pair_sub(al_, ah_, bl_, bh_)
+        rs = [_np_pair_negroll(dl[..., j, :], dh[..., j, :],
+                               root * j * (1 << s)) for j in range(half)]
+        tl = np.stack([r[0] for r in rs], axis=-2)
+        th = np.stack([r[1] for r in rs], axis=-2)
+        lo = np.stack([sl, tl], axis=-3).reshape(lo.shape[:-2] + (two_l, m))
+        hi = np.stack([sh, th], axis=-3).reshape(hi.shape[:-2] + (two_l, m))
+    return lo, hi
+
+
+def _np_limb_pack_pair(lo, hi, n_bytes: int):
+    """Balanced signed-byte limb packing of (lo, hi) u64 pairs over
+    n_bytes*8 bits — bootstrap_mxu._limb_pack's carry loop on the 128-bit
+    carriage (byte m of the result = balanced limb c_m mod 256)."""
+    with np.errstate(over="ignore"):
+        for b in range(7, 8 * n_bytes - 8, 8):
+            bit = ((lo >> np.uint64(b)) & np.uint64(1)) if b < 64 else \
+                  ((hi >> np.uint64(b - 64)) & np.uint64(1))
+            t = b + 1
+            if t < 64:
+                inc = bit << np.uint64(t)
+                nl = lo + inc
+                hi = hi + (nl < lo).astype(np.uint64)
+                lo = nl
+            else:
+                hi = hi + (bit << np.uint64(t - 64))
+    return lo, hi
+
+
+def _bsk_to_nuss_u64(bsk, plan: NussPlan):
+    """u64-torus key conversion: forward transform mod 2^128 on host pairs,
+    balanced limb packing over 4*n_words bytes, word-plane storage."""
+    n_lwe, lv, ks1 = bsk.shape[0], plan.level, plan.glwe_size
+    m, two_l = plan.m, plan.two_l
+    n_bytes = 4 * plan.n_words
+    with np.errstate(over="ignore"):
+        ch = nb.chunk(bsk, plan.l)                      # [.., 2L, M] u64
+        gz_lo, gz_hi = _np_forward_pair(ch, np.zeros_like(ch), plan.l)
+        rings = np.empty(
+            (n_lwe, two_l, plan.row_blocks, ks1, plan.n_words, 2 * m),
+            dtype=np.uint32)
+        blk = 0
+        for lev in range(lv):
+            for sub in range(plan.n_sub):
+                s_m = bsx.MxuPlan.SUB_CHUNK_BITS * (plan.n_sub - 1 - sub)
+                for ki in range(ks1):
+                    lo = gz_lo[:, lev, ki]              # [n, k+1, 2L, M]
+                    hi = gz_hi[:, lev, ki]
+                    if s_m:                             # x 2^(7*sub_weight)
+                        hi = (hi << np.uint64(s_m)) | (lo >> np.uint64(64 - s_m))
+                        lo = lo << np.uint64(s_m)
+                    lo = np.moveaxis(lo, 2, 1)          # [n, 2L, k+1, M]
+                    hi = np.moveaxis(hi, 2, 1)
+                    p_lo, p_hi = _np_limb_pack_pair(lo, hi, n_bytes)
+                    n_lo, n_hi = _np_limb_pack_pair(*_np_pair_neg(lo, hi),
+                                                    n_bytes)
+                    for w in range(plan.n_words):
+                        src_p = p_lo if w < 2 else p_hi
+                        src_n = n_lo if w < 2 else n_hi
+                        sh = np.uint64(32 * (w % 2))
+                        rings[:, :, blk, :, w, :m] = (
+                            src_p >> sh).astype(np.uint32)
+                        rings[:, :, blk, :, w, m:] = (
+                            src_n >> sh).astype(np.uint32)
+                    blk += 1
+    return rings.reshape(
+        n_lwe, two_l * plan.row_blocks, ks1 * plan.n_words, 2 * m)
+
+
 def bsk_to_nuss(bsk_data, cfg: ServerConfig, l: int | None = None):
     """[n, l, k+1, k+1, N] u32 BSK -> Nussbaumer-domain toeplitz rotation
     rings [n, 2L*R', (k+1)*n_words, 2M] u32.
@@ -178,6 +301,8 @@ def bsk_to_nuss(bsk_data, cfg: ServerConfig, l: int | None = None):
     G_z = forward(chunk(g)) mod 2^64 — build_tables keeps limbs
     0..limbs_used-1 (exact mod 2^w_prime; higher shifts vanish)."""
     plan = NussPlan.from_config(cfg, l)
+    if plan.bits == 64:
+        return _bsk_to_nuss_u64(np.asarray(bsk_data, np.uint64), plan)
     n_lwe, lv, ks1 = bsk_data.shape[0], plan.level, plan.glwe_size
     m, two_l = plan.m, plan.two_l
     bsk = np.asarray(bsk_data, dtype=np.uint32)
@@ -235,11 +360,11 @@ def _digit_matrix_nuss(plan: NussPlan, diff_cm):
 
 def _pair_add(al, ah, bl_, bh):
     lo = al + bl_
-    return lo, ah + bh + (lo < al).astype(jnp.uint32)
+    return lo, ah + bh + (lo < al).astype(al.dtype)
 
 
 def _pair_sub(al, ah, bl_, bh):
-    borrow = (al < bl_).astype(jnp.uint32)
+    borrow = (al < bl_).astype(al.dtype)
     return al - bl_, ah - bh - borrow
 
 
@@ -291,6 +416,8 @@ def _recombine_nuss(plan: NussPlan, s):
     right shift. No i64/u64 lane ops (emulated on v5e)."""
     import os
 
+    if plan.bits == 64:
+        return _recombine_nuss_torus64(plan, s)
     if os.environ.get("CONCRETE_TPU_NUSS_INV", "u64") != "pair":
         return _recombine_nuss_u64(plan, s)
     m, lu, ks1 = plan.m, plan.limbs_used, plan.glwe_size
@@ -316,7 +443,18 @@ def _recombine_nuss(plan: NussPlan, s):
     # [k+1, B, 2L, M] pairs
     lo = jnp.moveaxis(jnp.stack(los, axis=0), 2, 1)
     hi = jnp.moveaxis(jnp.stack(his, axis=0), 2, 1)
-    # inverse 2L-point polynomial transform on pairs (nb.inverse_raw twin)
+    lo, hi = _inverse_fold_pairs(plan, lo, hi)
+    # divide by 2L (the transforms are unnormalized): low 32 result bits
+    sh = jnp.uint32(plan.shift)
+    return (lo >> sh) | (hi << jnp.uint32(32 - plan.shift))  # chunk-major
+
+
+def _inverse_fold_pairs(plan: NussPlan, lo, hi):
+    """Inverse 2L-point polynomial transform + fold mod (Y^L - Z) on word
+    pairs [k+1, B, 2L, M] (nb.inverse_raw + nb.fold on explicit-carry
+    pairs). Dtype-generic: u32 pairs for the u32 torus, u64 pairs for the
+    u64 torus (128-bit carriage)."""
+    m = lo.shape[-1]
     two_l, root = plan.two_l, plan.m // plan.l
     stages = two_l.bit_length() - 1
     for st in reversed(range(stages)):
@@ -337,10 +475,45 @@ def _recombine_nuss(plan: NussPlan, s):
         hi = jnp.concatenate([ah, bh], axis=-2).reshape(out_shape)
     # fold mod (Y^L - Z): out_t = c_t + Z * c_{t+L}
     zl, zh = _pair_negroll(lo[..., plan.l:, :], hi[..., plan.l:, :], 1)
-    lo, hi = _pair_add(lo[..., :plan.l, :], hi[..., :plan.l, :], zl, zh)
-    # divide by 2L (the transforms are unnormalized): low 32 result bits
-    sh = jnp.uint32(plan.shift)
-    return (lo >> sh) | (hi << jnp.uint32(32 - plan.shift))  # chunk-major
+    return _pair_add(lo[..., :plan.l, :], hi[..., :plan.l, :], zl, zh)
+
+
+def _recombine_nuss_torus64(plan: NussPlan, s):
+    """u64-TORUS recombine: dot output s [2L, B, (k+1)*limbs*M] i32 ->
+    chunk-major update [k+1, B, L, M] u64. The per-frequency values are
+    exact mod 2^w_prime = 2^(64 + shift) and ride (lo, hi) u64 pairs
+    (v5e emulates u64 lanes, but the pair form only materializes the few
+    hi bits that matter); inverse transform + fold on the pairs, then the
+    deferred /2L shift recombines the pair into the u64 result."""
+    m, lu, ks1 = plan.m, plan.limbs_used, plan.glwe_size
+    los, his = [], []
+    for kj in range(ks1):
+        base = kj * lu * m
+        lo = jnp.zeros(s.shape[:-1] + (m,), jnp.uint64)
+        hi = jnp.zeros_like(lo)
+        for j in range(lu):
+            t = 8 * j
+            sm = s[..., base + j * m: base + (j + 1) * m].astype(jnp.int64)
+            smu = jax.lax.bitcast_convert_type(sm, jnp.uint64)
+            if t == 0:
+                c_lo = smu
+                c_hi = jax.lax.bitcast_convert_type(
+                    sm >> jnp.int64(63), jnp.uint64)
+            elif t < 64:
+                c_lo = smu << jnp.uint64(t)
+                c_hi = jax.lax.bitcast_convert_type(
+                    sm >> jnp.int64(64 - t), jnp.uint64)
+            else:
+                c_lo = jnp.zeros_like(smu)
+                c_hi = smu << jnp.uint64(t - 64)
+            lo, hi = _pair_add(lo, hi, c_lo, c_hi)
+        los.append(lo)
+        his.append(hi)
+    lo = jnp.moveaxis(jnp.stack(los, axis=0), 2, 1)   # [k+1, B, 2L, M]
+    hi = jnp.moveaxis(jnp.stack(his, axis=0), 2, 1)
+    lo, hi = _inverse_fold_pairs(plan, lo, hi)
+    sh = jnp.uint64(plan.shift)
+    return (lo >> sh) | (hi << jnp.uint64(64 - plan.shift))  # chunk-major
 
 
 def external_product_nuss(cfg: ServerConfig, rings, glwe, l: int | None = None):
@@ -409,6 +582,20 @@ def bootstrap_nuss(cfg: ServerConfig, bsk_rings, lut, lwe, *,
                    l: int | None = None):
     """Full PBS on the Nussbaumer path (fourier/mod.rs:878-911)."""
     return sample_extract(blind_rotate_nuss(cfg, bsk_rings, lut, lwe, l=l))
+
+
+def bootstrap_many_lut_nuss(cfg: ServerConfig, bsk_rings, lut, lwe,
+                            lut_count_log: int, *, ms_offset: int = 0,
+                            l: int | None = None):
+    """Multi-LUT PBS on the Nussbaumer path (see bootstrap.bootstrap_many_lut
+    and the ModulusSwitchOffset/LutCountLog knobs, fourier/mod.rs:728-748)."""
+    from .bootstrap import sample_extract_nth
+
+    acc = blind_rotate_nuss(cfg, bsk_rings, lut, lwe, l=l,
+                            ms_offset=ms_offset, lut_count_log=lut_count_log)
+    return jnp.stack(
+        [sample_extract_nth(acc, t) for t in range(1 << lut_count_log)],
+        axis=0)
 
 
 def bootstrap_keyswitch_nuss(cfg: ServerConfig, bsk_rings, ksk, lut, lwe, *,

@@ -65,15 +65,20 @@ class Fixture:
             self.SAMPLE_SIZE = sample_size
         reports = []
         for params in self.PARAMETERS:
+            # heavyweight entries (e.g. the N=8192 Nussbaumer shapes) cap
+            # their own repetition count so the CPU grid stays tractable
+            entry_reps = min(reps, params.get("reps", reps))
             ok, detail = True, ""
-            for rep in range(reps):
+            for rep in range(entry_reps):
                 try:
                     self.run_one(params, rep_seed=1000 * rep + 7)
                 except AssertionError as e:
                     ok, detail = False, str(e)
                     break
             reports.append(
-                FixtureReport(self.name, params, reps, self.SAMPLE_SIZE, ok, detail)
+                FixtureReport(self.name, params, entry_reps,
+                              params.get("samples", self.SAMPLE_SIZE), ok,
+                              detail)
             )
         return reports
 
@@ -158,6 +163,12 @@ class PbsFixture(Fixture):
         # backends, scaled-down n for CPU CI cost
         {"n": 12, "k": 4, "N": 256, "base_log": 7, "levels": 2, "backend": "ntt"},
         {"n": 12, "k": 4, "N": 256, "base_log": 7, "levels": 2, "backend": "mxu"},
+        # the Nussbaumer-domain backend (the large-N production path): a
+        # CI-cost entry at L=8 plus the real N=8192 class at reduced reps
+        {"n": 12, "k": 1, "N": 512, "base_log": 7, "levels": 2,
+         "backend": "nuss", "L": 8},
+        {"n": 4, "k": 1, "N": 8192, "base_log": 7, "levels": 2,
+         "backend": "nuss", "reps": 2, "samples": 8},
     ]
     SAMPLE_SIZE = 64
 
@@ -189,11 +200,21 @@ class PbsFixture(Fixture):
         eighth = np.uint32(1 << 29)
         neg_eighth = np.uint32((-(1 << 29)) % (1 << 32))
         rng = np.random.default_rng(rep_seed)
-        signs = rng.integers(0, 2, size=self.SAMPLE_SIZE).astype(bool)
+        size = params.get("samples", self.SAMPLE_SIZE)
+        signs = rng.integers(0, 2, size=size).astype(bool)
         msgs = np.where(signs, eighth, neg_eighth)
         cts = lwe_sk.encrypt(msgs, p.lwe_modular_std_dev.std_dev, gen)
         lut = bs.trivial_lut_constant(cfg, eighth)
-        if params.get("backend") == "mxu":
+        if params.get("backend") == "nuss":
+            from .core import bootstrap_nuss as bsn
+
+            L = params.get("L")
+            rings = jnp.asarray(bsn.bsk_to_nuss(bsk.data, cfg, L))
+            out = np.array(
+                jax.jit(lambda b, c: bsn.bootstrap_nuss(cfg, b, lut, c, l=L))(
+                    rings, jnp.asarray(cts))
+            )
+        elif params.get("backend") == "mxu":
             from .core import bootstrap_mxu as bsx
 
             rings = jnp.asarray(bsx.bsk_to_mxu(bsk.data, cfg))
@@ -472,6 +493,9 @@ class U64PbsFixture(Fixture):
         # the co-designed u64 shape class (k=4 at fixed kN — 2.5x the
         # (1, N') PBS rate at lower noise, docs/performance.md)
         {"n": 8, "k": 4, "N": 64, "base_log": 7, "levels": 3, "backend": "mxu"},
+        # the u64 Nussbaumer backend (large-N highlevel regime)
+        {"n": 8, "k": 1, "N": 128, "base_log": 7, "levels": 3,
+         "backend": "nuss", "L": 4},
     ]
     SAMPLE_SIZE = 32
 
@@ -496,7 +520,14 @@ class U64PbsFixture(Fixture):
         msgs = np.where(signs, big, neg)
         cts = lwe_sk.encrypt(msgs, 2.0 ** -30, gen)
         lut = bs.trivial_lut_constant(cfg, big)
-        if params.get("backend") == "mxu":
+        if params.get("backend") == "nuss":
+            from .core import bootstrap_nuss as bsn
+
+            L = params.get("L")
+            rings = jnp.asarray(bsn.bsk_to_nuss(bsk.data, cfg, L))
+            out = np.array(
+                bsn.bootstrap_nuss(cfg, rings, lut, jnp.asarray(cts), l=L))
+        elif params.get("backend") == "mxu":
             from .core import bootstrap_mxu as bsx
 
             rings = jnp.asarray(bsx.bsk_to_mxu(bsk.data, cfg))

@@ -120,18 +120,24 @@ class LWEBSK:
     backend: str = "auto"
     _bsk_ntt: object = dataclasses.field(default=None, repr=False)
     _bsk_mxu: object = dataclasses.field(default=None, repr=False)
+    _bsk_nuss: object = dataclasses.field(default=None, repr=False)
 
     def resolved_backend(self) -> str:
         from ..core import bootstrap_mxu as bsx
+        from ..core import bootstrap_nuss as bsn
 
         if self.backend != "auto":
             return self.backend
         if not bsx._on_tpu():
             return "ntt"
-        try:  # configs outside the mxu plan's envelope fall back to ntt
+        try:  # configs outside the mxu plan's envelope fall back to nuss
             bsx.MxuPlan.from_config(self.cfg)
         except NotImplementedError:
-            return "ntt"
+            try:  # large N: Nussbaumer-domain MXU path (u32 AND u64 torus)
+                bsn.NussPlan.from_config(self.cfg)
+            except (NotImplementedError, ValueError):
+                return "ntt"
+            return "nuss"
         return "mxu"
 
     def with_fast_mode(self, *, limb_drop: int = 2,
@@ -150,7 +156,7 @@ class LWEBSK:
         return dataclasses.replace(
             self, cfg=cfg,
             coefficient_bsk=self.coefficient_bsk[:, : cfg.pbs_level],
-            _bsk_ntt=None, _bsk_mxu=None)
+            _bsk_ntt=None, _bsk_mxu=None, _bsk_nuss=None)
 
     def bootstrap_output_variance(self, lwe_dimension: int) -> float:
         """PBS output variance incl. the reduced-precision term when this
@@ -186,22 +192,42 @@ class LWEBSK:
             self._bsk_mxu = jnp.asarray(bsx.bsk_to_mxu(self.coefficient_bsk, self.cfg))
         return self._bsk_mxu
 
+    @property
+    def bsk_nuss(self):
+        import jax.numpy as jnp
+
+        from ..core import bootstrap_nuss as bsn
+
+        if self._bsk_nuss is None:
+            self._bsk_nuss = jnp.asarray(
+                bsn.bsk_to_nuss(self.coefficient_bsk, self.cfg))
+        return self._bsk_nuss
+
     def run_bootstrap(self, accumulator, cts):
         """PBS of `cts` against `accumulator` on the resolved backend."""
         from ..core import bootstrap_mxu as bsx
+        from ..core import bootstrap_nuss as bsn
 
-        if self.resolved_backend() == "mxu":
+        backend = self.resolved_backend()
+        if backend == "mxu":
             return bsx.bootstrap_mxu(self.cfg, self.bsk_mxu, accumulator, cts)
+        if backend == "nuss":
+            return bsn.bootstrap_nuss(self.cfg, self.bsk_nuss, accumulator, cts)
         return bs.bootstrap(self.cfg, self.bsk_ntt, accumulator, cts)
 
     def run_bootstrap_many(self, accumulator, cts, lut_count_log: int):
         """Multi-LUT PBS: one blind rotation, 2^lcl packed functions ->
         [2^lcl, ..., k*N+1] (see core bootstrap_many_lut)."""
         from ..core import bootstrap_mxu as bsx
+        from ..core import bootstrap_nuss as bsn
 
-        if self.resolved_backend() == "mxu":
+        backend = self.resolved_backend()
+        if backend == "mxu":
             return bsx.bootstrap_many_lut_mxu(
                 self.cfg, self.bsk_mxu, accumulator, cts, lut_count_log)
+        if backend == "nuss":
+            return bsn.bootstrap_many_lut_nuss(
+                self.cfg, self.bsk_nuss, accumulator, cts, lut_count_log)
         return bs.bootstrap_many_lut(
             self.cfg, self.bsk_ntt, accumulator, cts, lut_count_log)
 

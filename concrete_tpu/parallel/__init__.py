@@ -14,6 +14,13 @@ from .mesh import (
     gate_pipeline_dp,
     gate_pipeline_dp_tp,
     gate_pipeline_dp_tp_mxu,
+    gate_pipeline_dp_tp_nuss,
 )
 
-__all__ = ["make_mesh", "gate_pipeline_dp", "gate_pipeline_dp_tp", "gate_pipeline_dp_tp_mxu"]
+__all__ = [
+    "make_mesh",
+    "gate_pipeline_dp",
+    "gate_pipeline_dp_tp",
+    "gate_pipeline_dp_tp_mxu",
+    "gate_pipeline_dp_tp_nuss",
+]

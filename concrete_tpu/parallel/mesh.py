@@ -32,8 +32,9 @@ from jax.experimental.shard_map import shard_map
 
 from ..core import bootstrap as bs
 from ..core import bootstrap_mxu as bsx
+from ..core import bootstrap_nuss as bsn
 from ..core import lwe as lwe_ops
-from ..math import decomposition, ntt, polynomial
+from ..math import decomposition, ntt, nussbaumer as nb, polynomial
 
 
 def make_mesh(dp: int, tp: int = 1, devices=None) -> Mesh:
@@ -266,3 +267,93 @@ def gate_pipeline_dp_tp_mxu(cfg: bs.ServerConfig, mesh: Mesh):
         check_rep=False,
     )
     return jax.jit(sharded)
+
+
+# ---------------------------------------------------------------------------
+# dp + tp on the Nussbaumer path (large N): per-frequency row blocks sharded
+# ---------------------------------------------------------------------------
+
+
+def gate_pipeline_dp_tp_nuss(cfg: bs.ServerConfig, mesh: Mesh,
+                             l: int | None = None):
+    """Nussbaumer-path gate pipeline (N > 4096 class): batch on dp,
+    per-frequency external-product row blocks R' on tp.
+
+    The rings [n, 2L*R', (k+1)*words, 2M] are viewed as [n, 2L, R', ., 2M]
+    and sharded on the R' (gadget level x sub-digit x column) axis, so each
+    tp shard dots its row blocks for EVERY frequency and the per-device
+    partial sums combine with one wrapping psum per CMux (exact: the i32
+    partial dot sums add to the single-device sums with no overflow — the
+    plan's K-row bound covers the full contraction). The inverse polynomial
+    transform + recombine then run replicated in the tp group; the
+    keyswitch shards as in the other pipelines. Requires
+    row_blocks % tp == 0. Bit-identical to bootstrap_keyswitch_nuss
+    (tests/test_parallel.py)."""
+    from ..core import checks
+
+    plan = bsn.NussPlan.from_config(cfg, l)
+    tp = mesh.shape["tp"]
+    checks.check_tp_divides(
+        f"nuss row_blocks R' = pbs_level*(k+1)*n_sub = {plan.level}*"
+        f"{plan.glwe_size}*{plan.n_sub}", plan.row_blocks, tp)
+    ks_sharded = cfg.big_lwe_dimension % tp == 0  # see gate_pipeline_dp_tp
+    blocks_local = plan.row_blocks // tp
+    N, M, two_l = cfg.polynomial_size, plan.m, plan.two_l
+
+    def run(rings_shard, ksk_shard, lut, lin):
+        body = lin[..., -1]
+        b_hat = bs.pbs_modulus_switch(body, N)
+        a_hats = jnp.moveaxis(bs.pbs_modulus_switch(lin[..., :-1], N), -1, 0)
+        acc = jnp.moveaxis(
+            jnp.broadcast_to(lut, lin.shape[:-1] + lut.shape[-2:]), -2, 0)
+        acc = polynomial.negacyclic_monomial_div(acc, b_hat[None, :])
+        acc = nb.chunk(acc, plan.l)[..., :plan.l, :]    # chunk-major
+        tp_idx = jax.lax.axis_index("tp")
+
+        def step(acc, xs):
+            rings_i, a_hat = xs        # [2L, R'/tp, planes, 2M], [B]
+            rot = nb.monomial_mul_chunked(acc, a_hat[None, :], plan.l)
+            d8 = bsn._digit_matrix_nuss(plan, rot - acc)   # [B, 2L, R'M]
+            d8r = d8.reshape(d8.shape[0], two_l, plan.row_blocks, M)
+            my = jax.lax.dynamic_slice_in_dim(
+                d8r, tp_idx * blocks_local, blocks_local, axis=2)
+            my = my.reshape(d8.shape[0], two_l, blocks_local * M)
+            rhs = bsx.build_tables(
+                rings_i.reshape(two_l * blocks_local, -1, 2 * M),
+                M, plan.n_words, 0, plan.limb_hi_drop)
+            rhs = rhs.reshape(two_l, blocks_local * M, -1)
+            s = jax.lax.dot_general(
+                my, rhs, (((2,), (1,)), ((1,), (0,))),
+                preferred_element_type=jnp.int32)          # [2L, B, cols]
+            s = jax.lax.psum(s, "tp")        # exact partial-sum combine
+            return acc + bsn._recombine_nuss(plan, s), None
+
+        acc, _ = jax.lax.scan(step, acc, (rings_shard, a_hats))
+        acc = nb.unchunk(acc, plan.l)
+        big = bs.sample_extract(jnp.moveaxis(acc, 0, -2))
+        if ks_sharded:
+            return _keyswitch_tp(cfg, ksk_shard, big, "tp", tp)
+        return lwe_ops.keyswitch(
+            ksk_shard, big, base_log=cfg.ks_base_log,
+            level_count=cfg.ks_level)
+
+    sharded = shard_map(
+        run,
+        mesh=mesh,
+        in_specs=(
+            P(None, None, "tp"),             # rings: [n, 2L, R'|tp, ., 2M]
+            P("tp") if ks_sharded else P(),  # ksk rows (or replicated)
+            P(),                             # lut replicated
+            P("dp"),                         # ciphertext batch
+        ),
+        out_specs=P("dp"),
+        check_rep=False,
+    )
+
+    def outer(rings, ksk, lut, lin):
+        # callers pass the standard bsk_to_nuss layout [n, 2L*R', ., 2M]
+        r5 = rings.reshape(rings.shape[0], two_l, plan.row_blocks,
+                           rings.shape[2], rings.shape[3])
+        return sharded(r5, ksk, lut, lin)
+
+    return jax.jit(outer)

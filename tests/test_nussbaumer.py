@@ -76,6 +76,36 @@ def test_bit_identity_vs_mxu(n, k, N, bl, lv, L):
     np.testing.assert_array_equal(want, got)
 
 
+@pytest.mark.parametrize("n,k,N,bl,lv,L", [
+    (4, 1, 64, 7, 2, 2),
+    (3, 2, 128, 7, 2, 4),
+    (3, 1, 256, 10, 2, 8),    # u64 digit ladder with sub-splitting
+])
+def test_bit_identity_vs_mxu_u64(n, k, N, bl, lv, L):
+    """u64-TORUS Nussbaumer path (the highlevel crate's regime,
+    concrete/src/lib.rs:22): the forward transform rides host-side 128-bit
+    pairs, the recombine rides u64 device pairs — must be bit-identical to
+    the direct u64 toeplitz path."""
+    rng = np.random.default_rng(7)
+    cfg = bs.ServerConfig(lwe_dimension=n, glwe_dimension=k,
+                          polynomial_size=N, pbs_base_log=bl, pbs_level=lv,
+                          ks_base_log=4, ks_level=3, bits=64)
+    plan = bsn.NussPlan.from_config(cfg, L)
+    assert plan.w_prime == 64 + plan.shift
+    assert plan.n_words == 3
+    bsk_raw = rng.integers(0, 1 << 64, size=(n, lv, k + 1, k + 1, N),
+                           dtype=np.uint64)
+    rings_m = jnp.asarray(bsx.bsk_to_mxu(bsk_raw, cfg))
+    rings_n = jnp.asarray(bsn.bsk_to_nuss(bsk_raw, cfg, L))
+    lut = jnp.asarray(rng.integers(0, 1 << 64, size=(k + 1, N),
+                                   dtype=np.uint64))
+    lwe = jnp.asarray(rng.integers(0, 1 << 64, size=(4, n + 1),
+                                   dtype=np.uint64))
+    want = np.asarray(bsx.blind_rotate_mxu(cfg, rings_m, lut, lwe))
+    got = np.asarray(bsn.blind_rotate_nuss(cfg, rings_n, lut, lwe, l=L))
+    np.testing.assert_array_equal(want, got)
+
+
 @pytest.mark.slow
 def test_bit_identity_vs_ntt_large_n():
     """N=8192: the direct MXU path refuses (O(N^2) RHS); the Nussbaumer path

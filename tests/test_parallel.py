@@ -155,3 +155,45 @@ def test_dp_tp3_replicated_keyswitch_matches_single_device():
     got2 = np.asarray(gate_pipeline_dp_tp(cfg, mesh)(bsk_ntt, ksk, lut, lin))
     want2 = np.asarray(bs.bootstrap_keyswitch(cfg, bsk_ntt, ksk, lut, lin))
     np.testing.assert_array_equal(got2, want2)
+
+
+@pytest.mark.parametrize("bits", [32, 64])
+def test_dp_tp_nuss_matches_single_device(bits):
+    """The Nussbaumer-path sharded pipeline (per-frequency row blocks on tp,
+    wrapping psum per CMux) must be bit-identical to the single-device
+    bootstrap_keyswitch_nuss on both torus widths."""
+    from concrete_tpu.core import bootstrap_nuss as bsn
+    from concrete_tpu.parallel import gate_pipeline_dp_tp_nuss
+
+    rng = np.random.default_rng(31)
+    n, k, N, bl, lv, L = 5, 1, 128, 7, 2, 4
+    cfg = bs.ServerConfig(lwe_dimension=n, glwe_dimension=k,
+                          polynomial_size=N, pbs_base_log=bl, pbs_level=lv,
+                          ks_base_log=4, ks_level=3, bits=bits)
+    plan = bsn.NussPlan.from_config(cfg, L)
+    assert plan.row_blocks % 2 == 0
+    dt = np.uint32 if bits == 32 else np.uint64
+    hi = 1 << bits
+    bsk_raw = rng.integers(0, hi, size=(n, lv, k + 1, k + 1, N), dtype=dt)
+    rings = jnp.asarray(bsn.bsk_to_nuss(bsk_raw, cfg, L))
+    ksk = jnp.asarray(rng.integers(
+        0, hi, size=(cfg.big_lwe_dimension, cfg.ks_level, n + 1), dtype=dt))
+    lut = bs.trivial_lut_constant(cfg, dt(1) << dt(bits - 3))
+    lin = jnp.asarray(rng.integers(0, hi, size=(8, n + 1), dtype=dt))
+    want = np.asarray(bsn.bootstrap_keyswitch_nuss(
+        cfg, rings, ksk, lut, lin, l=L))
+    mesh = make_mesh(dp=4, tp=2)
+    got = np.asarray(
+        gate_pipeline_dp_tp_nuss(cfg, mesh, l=L)(rings, ksk, lut, lin))
+    np.testing.assert_array_equal(got, want)
+
+
+def test_dp_tp_nuss_nondivisible_raises_typed_error():
+    from concrete_tpu.core import checks
+    from concrete_tpu.parallel import gate_pipeline_dp_tp_nuss
+
+    cfg = bs.ServerConfig(lwe_dimension=5, glwe_dimension=1,
+                          polynomial_size=128, pbs_base_log=7, pbs_level=2,
+                          ks_base_log=4, ks_level=3)
+    with pytest.raises(checks.ShardingMismatch, match="nuss row_blocks"):
+        gate_pipeline_dp_tp_nuss(cfg, make_mesh(dp=2, tp=3), l=4)
