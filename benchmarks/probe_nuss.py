@@ -264,9 +264,61 @@ def stage_ablate(N=8192, B=256, L=None, iters=100):
               f"{1e3*full:.0f}", flush=True)
 
 
+def stage_bitid64(N=2048, L=8, B=16):
+    """u64-TORUS Nussbaumer blind rotation on TPU: bit-identity vs the
+    direct u64 mxu path — exercises the n_words=3 table-build kernel
+    on-chip (an early M=64 shape hit a Mosaic concat-layout bug; production
+    M >= 128 is what this validates)."""
+    rng = np.random.default_rng(0)
+    n, k, bl, lv = 3, 1, 7, 2
+    cfg = bs.ServerConfig(lwe_dimension=n, glwe_dimension=k,
+                          polynomial_size=N, pbs_base_log=bl, pbs_level=lv,
+                          ks_base_log=4, ks_level=3, bits=64)
+    bsk_raw = rng.integers(0, 1 << 64, size=(n, lv, k + 1, k + 1, N),
+                           dtype=np.uint64)
+    rings_m = jnp.asarray(bsx.bsk_to_mxu(bsk_raw, cfg))
+    rings_n = jnp.asarray(bsn.bsk_to_nuss(bsk_raw, cfg, L))
+    lut = jnp.asarray(rng.integers(0, 1 << 64, (k + 1, N), dtype=np.uint64))
+    lwe = jnp.asarray(rng.integers(0, 1 << 64, (B, n + 1), dtype=np.uint64))
+    want, _ = _timed("mxu u64 blind_rotate", jax.jit(
+        lambda r, u, w: bsx.blind_rotate_mxu(cfg, r, u, w)),
+        rings_m, lut, lwe, reps=1)
+    got, _ = _timed(f"nuss u64 blind_rotate L={L}", jax.jit(
+        lambda r, u, w: bsn.blind_rotate_nuss(cfg, r, u, w, l=L)),
+        rings_n, lut, lwe, reps=1)
+    assert np.array_equal(np.asarray(want), np.asarray(got)), "BIT MISMATCH"
+    print("u64 bit-identity on TPU: OK", flush=True)
+
+
+def stage_largen64(N=8192, B=128, L=None):
+    """u64-torus PBS at large N on the Nussbaumer path (the highlevel
+    regime, Torus=u64 per concrete/src/lib.rs:22), timed."""
+    rng = np.random.default_rng(0)
+    cfg = bs.ServerConfig(lwe_dimension=100, glwe_dimension=1,
+                          polynomial_size=N, pbs_base_log=2, pbs_level=3,
+                          ks_base_log=2, ks_level=5, bits=64)
+    plan = bsn.NussPlan.from_config(cfg, L)
+    print(f"u64 N={N} L={plan.l} M={plan.m} n_sub'={plan.n_sub} "
+          f"w'={plan.w_prime} lu={plan.limbs_used}", flush=True)
+    n, ks1 = cfg.lwe_dimension, cfg.glwe_size
+    bsk_raw = rng.integers(0, 1 << 64, size=(n, cfg.pbs_level, ks1, ks1, N),
+                           dtype=np.uint64)
+    t0 = time.perf_counter()
+    rings = jnp.asarray(bsn.bsk_to_nuss(bsk_raw, cfg, plan.l))
+    print(f"bsk_to_nuss: {time.perf_counter()-t0:.1f} s, rings "
+          f"{rings.nbytes/1e6:.0f} MB", flush=True)
+    lut = jnp.asarray(rng.integers(0, 1 << 64, (ks1, N), dtype=np.uint64))
+    lwe = jnp.asarray(rng.integers(0, 1 << 64, (B, n + 1), dtype=np.uint64))
+    _, best = _timed(f"nuss u64 PBS N={N} B={B}", jax.jit(
+        lambda r, u, w: bsn.bootstrap_nuss(cfg, r, u, w, l=plan.l)),
+        rings, lut, lwe)
+    print(f"-> {B/best:.0f} PBS/s", flush=True)
+
+
 if __name__ == "__main__":
     cmd = sys.argv[1] if len(sys.argv) > 1 else "bitid"
     args = [int(a) for a in sys.argv[2:]]
     {"bitid": stage_bitid, "tfhe": stage_tfhe, "largen": stage_largen,
      "ntt": stage_ntt, "breakdown": stage_breakdown,
-     "ablate": stage_ablate}[cmd](*args)
+     "ablate": stage_ablate, "bitid64": stage_bitid64,
+     "largen64": stage_largen64}[cmd](*args)

@@ -259,6 +259,14 @@ def _build_tables_pallas(r_blocks: int, planes: int, N: int,
     # the strided-roll build, TODO.md) — never tile below 128 rows.
     if tile is None:
         tile = min(N, max(8, (1 << 22) // N))
+        # limb-aware VMEM cap (round 5): the output block
+        # [T, ks1*n_kept*N] i8 must fit VMEM double-buffered. 32 MB is the
+        # largest swept working point (u32 N=2048); the u64 N=2048 shape
+        # (64 MB single-tile) crashed the remote compile helper. Halve
+        # rows until within budget — but never below 128 (smaller tiles
+        # hang the remote Mosaic compiler, TODO.md).
+        while tile > 128 and tile * ks1 * n_kept * N > (1 << 25):
+            tile //= 2
     n_tiles = N // tile
 
     def kernel(e_ref, o_ref):
