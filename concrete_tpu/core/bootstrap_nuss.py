@@ -408,17 +408,128 @@ def _recombine_nuss_u64(plan: NussPlan, s):
     return (c >> jnp.uint64(plan.shift)).astype(jnp.uint32)  # chunk-major
 
 
+@functools.lru_cache(maxsize=None)
+def _recombine_inv_pallas(ks1: int, two_l: int, m: int, b: int, lu: int,
+                          l: int, shift: int,
+                          interpret: bool = False, tile: int | None = None):
+    """Fused limb-recombine + inverse 2L-point polynomial transform + fold
+    + deferred /2L as ONE VPU kernel: s [2L, B, (k+1)*lu*M] i32 -> update
+    [k+1, B, L*M] u32 (chunk-major, flattened).
+
+    Why a kernel: the XLA form materializes every one of the log2(2L)
+    butterfly stages through HBM (~6 stage tensors of u64 round-tripped —
+    ablated at 233 ms of a 438 ms/100-iter scan at N=8192/L=32/B=256);
+    here S streams through VMEM once per (batch-tile, kj) and the whole
+    pair transform runs register/VMEM-resident. Arithmetic is the exact
+    u32-pair form of `_recombine_nuss`/`_inverse_fold_pairs` — bit-
+    identical (tests/test_nussbaumer.py, interpreter + TPU)."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    if tile is None:
+        # s block [2L, T, ks1*lu*M] i32 double-buffered; ~12 MB budget,
+        # power-of-two rows so the tile divides every power-of-two batch
+        budget = max(8, (12 << 20) // (two_l * ks1 * lu * m * 4))
+        tile = min(b, 1 << (budget.bit_length() - 1))
+        while b % tile:
+            tile //= 2
+    n_tiles = b // tile
+    root = m // l                   # omega = Z^(M/L)
+    stages = two_l.bit_length() - 1
+
+    def kernel(s_ref, o_ref):
+        # full-width blocks with the kj loop INSIDE: Mosaic requires the
+        # lane-axis block dim to divide by 128 or equal the array's, and
+        # a per-kj column block (lu*m wide) violates that at small M
+        for kj in range(ks1):
+            base = kj * lu * m
+            # limb recombination -> (lo, hi) u32 pairs, [2L, T, M]
+            lo = jnp.zeros((two_l, tile, m), jnp.uint32)
+            hi = jnp.zeros_like(lo)
+            for j in range(lu):
+                t = 8 * j
+                sm = s_ref[:, :, base + j * m:base + (j + 1) * m]   # i32
+                smu = jax.lax.bitcast_convert_type(sm, jnp.uint32)
+                if t < 32:
+                    c_lo = smu << jnp.uint32(t)
+                    sh = 31 if t == 0 else 32 - t               # arith shift
+                    c_hi = jax.lax.bitcast_convert_type(
+                        sm >> jnp.int32(sh), jnp.uint32)
+                    lo, hi = _pair_add(lo, hi, c_lo, c_hi)
+                else:
+                    hi = hi + (smu << jnp.uint32(t - 32))
+            # inverse 2L-point polynomial transform (z on the LEADING axis)
+            for st in reversed(range(stages)):
+                half = two_l >> (st + 1)
+                shp = (1 << st, 2, half, tile, m)
+                lr, hr = lo.reshape(shp), hi.reshape(shp)
+                ul, uh = lr[:, 0], hr[:, 0]
+                vl_in, vh_in = lr[:, 1], hr[:, 1]
+                vs = [_pair_negroll(vl_in[:, j], vh_in[:, j],
+                                    -root * j * (1 << st))
+                      for j in range(half)]
+                vl = jnp.stack([v[0] for v in vs], axis=1)
+                vh = jnp.stack([v[1] for v in vs], axis=1)
+                al, ah = _pair_add(ul, uh, vl, vh)
+                bl_, bh = _pair_sub(ul, uh, vl, vh)
+                lo = jnp.concatenate([al, bl_], axis=1).reshape(
+                    two_l, tile, m)
+                hi = jnp.concatenate([ah, bh], axis=1).reshape(
+                    two_l, tile, m)
+            # fold mod (Y^L - Z) + deferred /2L
+            zl, zh = _pair_negroll(lo[l:], hi[l:], 1)
+            lo, hi = _pair_add(lo[:l], hi[:l], zl, zh)         # [L, T, M]
+            res = (lo >> jnp.uint32(shift)) | (hi << jnp.uint32(32 - shift))
+            # keep [T, L, M] 4D — merging L into the lane axis is a
+            # minor-dim relayout Mosaic miscompiles at M < 128
+            o_ref[kj] = jnp.swapaxes(res, 0, 1)
+
+    return pl.pallas_call(
+        kernel,
+        grid=(n_tiles,),
+        in_specs=[
+            pl.BlockSpec((two_l, tile, ks1 * lu * m), lambda t: (0, t, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((ks1, tile, l, m), lambda t: (0, t, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((ks1, b, l, m), jnp.uint32),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )
+
+
+def _recombine_nuss_kernel(plan: NussPlan, s, interpret: bool = False):
+    """_recombine_nuss via the fused Pallas kernel (u32 torus)."""
+    b = s.shape[1]
+    with jax.enable_x64(False):
+        kern = _recombine_inv_pallas(
+            plan.glwe_size, plan.two_l, plan.m, b, plan.limbs_used,
+            plan.l, plan.shift, interpret=interpret)
+        return kern(s)
+
+
 def _recombine_nuss(plan: NussPlan, s):
     """Dot output s [2L, B, (k+1)*limbs*M] i32 -> accumulator update
     [k+1, B, N] u32: per-frequency limb recombination into u32 word pairs
     (exact mod 2^w_prime <= 2^(8*limbs_used)), inverse polynomial transform
     over z on the pairs, fold mod (Y^L - Z), deferred division by 2L as a
-    right shift. No i64/u64 lane ops (emulated on v5e)."""
+    right shift. On TPU the whole stage runs as one fused Pallas kernel
+    (`_recombine_inv_pallas`); the XLA forms remain selectable via
+    CONCRETE_TPU_NUSS_INV=u64|pair."""
     import os
 
     if plan.bits == 64:
         return _recombine_nuss_torus64(plan, s)
-    if os.environ.get("CONCRETE_TPU_NUSS_INV", "u64") != "pair":
+    mode = os.environ.get("CONCRETE_TPU_NUSS_INV", "auto")
+    # 2L <= 64 is the compile-validated kernel envelope: the butterflies
+    # unroll half-per-stage negrolls, and the 2L=256 instance (N=16384,
+    # L=128) ran the remote Mosaic compiler past 25 minutes. Larger
+    # transforms keep the XLA form.
+    if mode == "auto" and bsx._on_tpu() and plan.two_l <= 64:
+        return _recombine_nuss_kernel(plan, s)
+    if mode != "pair":
         return _recombine_nuss_u64(plan, s)
     m, lu, ks1 = plan.m, plan.limbs_used, plan.glwe_size
     los, his = [], []
@@ -532,6 +643,12 @@ def _extprod_nuss_cm(plan: NussPlan, rings, diff_cm):
     """Chunk-major external product core: diff [k+1, B, L, M] ->
     update [k+1, B, L, M]."""
     d8 = _digit_matrix_nuss(plan, diff_cm)         # [B, 2L, R'M]
+    return _dot_recombine_nuss(plan, rings, d8)
+
+
+def _dot_recombine_nuss(plan: NussPlan, rings, d8):
+    """Per-frequency table build + batched MXU dot + recombine: the tail of
+    one Nussbaumer CMux given the transformed digit matrix d8."""
     rhs = bsx.build_tables(
         rings, plan.m, plan.n_words, 0, plan.limb_hi_drop)
     rhs = rhs.reshape(plan.two_l, plan.row_blocks * plan.m, -1)
@@ -539,6 +656,172 @@ def _extprod_nuss_cm(plan: NussPlan, rings, diff_cm):
         d8, rhs, (((2,), (1,)), ((1,), (0,))),
         preferred_element_type=jnp.int32)          # [2L, B, cols]
     return _recombine_nuss(plan, s)
+
+
+@functools.lru_cache(maxsize=None)
+def _rotdig_fwd_nuss_pallas(ks1: int, l: int, m: int, b: int, base_log: int,
+                            level: int, n_sub: int,
+                            interpret: bool = False, tile: int | None = None):
+    """One Nussbaumer CMux step's front half as ONE VPU kernel: chunk-major
+    barrel rotation by a_hat, wrapping diff, gadget decomposition, forward
+    2L-point polynomial transform of the digits, balanced sub-digit split
+    -> d8 [B, 2L, R'*M] i8 (z bit-reversed, per-z column order
+    (lev, sub, ki) — exactly `monomial_mul_chunked` + `_digit_matrix_nuss`).
+
+    Why: the XLA composition runs log2(2N) select stages plus log2(2L)
+    transform stages through HBM-level fusions — ablated at 118 + 102 ms
+    of a 438 ms/100-iter scan at N=8192/L=32/B=256; here the whole front
+    half is VMEM-resident (read acc once, write d8 once). Transform math
+    runs in i32 lanes: with the plan's bl_eff <= 14 precondition the grown
+    digits never exceed i16 range, so i32 equals the XLA path's i16 values
+    exactly. Bit-identical (tests/test_nussbaumer.py)."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    two_l = 2 * l
+    n = l * m
+    r_blocks = level * ks1 * n_sub
+    root = m // l
+    stages = two_l.bit_length() - 1
+    if tile is None:
+        # dominant live values: per-level dz [T, 2L, M] i32 + the output
+        # block [T, 2L, R'M] i8 + acc block [ks1, T, L, M] u32
+        per_row = (two_l * m * 4) + (two_l * r_blocks * m) + (ks1 * n * 4)
+        budget = max(8, (24 << 20) // per_row)
+        tile = min(b, 1 << (budget.bit_length() - 1))
+        while b % tile:
+            tile //= 2
+    n_tiles = b // tile
+
+    def kernel(acc_ref, ah_ref, o_ref):
+        ah = ah_ref[:, :1]                                   # [T, 1] i32
+        bit_sel = ah[:, :, None]                             # [T, 1, 1]
+        for ki in range(ks1):
+            x = acc_ref[ki]                                  # [T, L, M] u32
+            # chunk-major negacyclic barrel rotation (monomial_mul_chunked)
+            rot = x
+            for bit in range((2 * n - 1).bit_length()):
+                s = (1 << bit) % (2 * n)
+                q, r = divmod(s, l)
+                if r == 0:
+                    rolled = _kernel_negroll_u32(rot, q, m)
+                else:
+                    hi = _kernel_negroll_u32(rot[:, l - r:], q + 1, m)
+                    lo = _kernel_negroll_u32(rot[:, :l - r], q, m)
+                    rolled = jnp.concatenate([hi, lo], axis=1)
+                take = (bit_sel >> bit) & 1
+                rot = jnp.where(take == 1, rolled, rot)
+            diff = rot - x
+            # gadget decomposition (decompose_rounded's unrolled form)
+            non_rep = 32 - base_log * level
+            if non_rep:
+                msb = (diff >> np.uint32(non_rep - 1)) & np.uint32(1)
+                diff = ((diff >> np.uint32(non_rep)) + msb) << np.uint32(
+                    non_rep)
+            state = diff >> np.uint32(32 - base_log * level)
+            mask = np.uint32((1 << base_log) - 1)
+            half_bits = np.uint32(base_log - 1)
+            digits = [None] * level
+            for step in range(level):
+                res = state & mask
+                state = state >> np.uint32(base_log)
+                carry = ((res - np.uint32(1)) | state) & res
+                carry = carry >> half_bits
+                state = state + carry
+                dig = res - (carry << np.uint32(base_log))
+                digits[level - 1 - step] = jax.lax.bitcast_convert_type(
+                    dig, jnp.int32)
+            # per level: zero-pad chunks to 2L, forward transform (DIF,
+            # bit-reversed output — nb.forward on the chunk axis), split
+            for lev in range(level):
+                d = digits[lev]                              # [T, L, M] i32
+                dz = jnp.concatenate([d, jnp.zeros_like(d)], axis=1)
+                for st in range(stages):
+                    half = two_l >> (st + 1)
+                    xr = dz.reshape(tile, 1 << st, 2 * half, m)
+                    a = xr[:, :, :half]
+                    bq = xr[:, :, half:]
+                    lo_s = a + bq
+                    dff = a - bq
+                    hi_s = jnp.concatenate(
+                        [_kernel_negroll_i32(
+                            dff[:, :, j:j + 1], root * j * (1 << st), m)
+                         for j in range(half)], axis=2)
+                    dz = jnp.stack([lo_s, hi_s], axis=2).reshape(
+                        tile, two_l, m)
+                for sub, dsub in enumerate(
+                        bsx._split_subdigits(dz, n_sub)):
+                    c0 = ((lev * n_sub + sub) * ks1 + ki) * m
+                    o_ref[:, :, c0:c0 + m] = dsub.astype(jnp.int8)
+
+    return pl.pallas_call(
+        kernel,
+        grid=(n_tiles,),
+        in_specs=[
+            pl.BlockSpec((ks1, tile, l, m), lambda t: (0, t, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile, 1), lambda t: (t, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((tile, two_l, r_blocks * m),
+                               lambda t: (t, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, two_l, r_blocks * m), jnp.int8),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )
+
+
+def _kernel_negroll_u32(x, shift: int, m: int):
+    """x * Z^shift (negacyclic, wrapping u32) on the LAST axis, static
+    shift — slice+concat only (the Mosaic-safe form)."""
+    shift = shift % (2 * m)
+    neg = shift >= m
+    shift = shift % m
+    if shift:
+        x = jnp.concatenate(
+            [np.uint32(0) - x[..., m - shift:], x[..., :m - shift]], axis=-1)
+    return (np.uint32(0) - x) if neg else x
+
+
+def _kernel_negroll_i32(x, shift: int, m: int):
+    """i32 twin of _kernel_negroll_u32 (digit-transform twiddles)."""
+    shift = shift % (2 * m)
+    neg = shift >= m
+    shift = shift % m
+    if shift:
+        x = jnp.concatenate(
+            [jnp.int32(0) - x[..., m - shift:], x[..., :m - shift]], axis=-1)
+    return (jnp.int32(0) - x) if neg else x
+
+
+def _rotdig_nuss(plan: NussPlan, acc_cm, a_hat, interpret: bool = False):
+    """d8 of one Nussbaumer CMux step from the chunk-major accumulator:
+    fused Pallas kernel on TPU (u32, bl_eff <= 14), XLA composition
+    elsewhere. Both bit-identical."""
+    import os
+
+    bl_eff = plan.base_log + (plan.l.bit_length() - 1)
+    # MEASURED-NEUTRAL on v5e (round 5, A/B at N=8192 B=256/1024: 297/297
+    # and 978/976 ms — identical to the XLA composition), so it stays
+    # opt-in: the XLA fusions already run this stage at par, and the
+    # kernel only adds first-compile time. Re-evaluate if XLA's fusion
+    # behavior regresses at new shapes.
+    flag = os.environ.get("CONCRETE_TPU_NUSS_ROTDIG", "0") == "1"
+    use_kernel = (
+        (interpret or (bsx._on_tpu() and flag))
+        and plan.bits == 32 and bl_eff <= 14
+        and plan.two_l <= 64)  # compile envelope, see _recombine_nuss
+    if use_kernel:
+        b = acc_cm.shape[1]
+        with jax.enable_x64(False):
+            kern = _rotdig_fwd_nuss_pallas(
+                plan.glwe_size, plan.l, plan.m, b, plan.base_log,
+                plan.level, plan.n_sub, interpret=interpret)
+            return kern(acc_cm, a_hat.astype(jnp.int32)[:, None])
+    rot = nb.monomial_mul_chunked(acc_cm, a_hat[None, :], plan.l)
+    return _digit_matrix_nuss(plan, rot - acc_cm)
 
 
 def blind_rotate_nuss(cfg: ServerConfig, bsk_rings, lut, lwe, *,
@@ -570,8 +853,8 @@ def blind_rotate_nuss(cfg: ServerConfig, bsk_rings, lut, lwe, *,
 
     def step(acc, xs):
         rings_i, a_hat = xs
-        rot = nb.monomial_mul_chunked(acc, a_hat[None, :], plan.l)
-        return acc + _extprod_nuss_cm(plan, rings_i, rot - acc), None
+        d8 = _rotdig_nuss(plan, acc, a_hat)
+        return acc + _dot_recombine_nuss(plan, rings_i, d8), None
 
     acc, _ = jax.lax.scan(step, acc, (bsk_rings, a_hats))
     acc = nb.unchunk(acc, plan.l)

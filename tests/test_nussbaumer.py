@@ -186,3 +186,50 @@ def test_server_key_nuss_backend():
     got_mux = sks_nuss.mux(ca, cb, ca)
     np.testing.assert_array_equal(
         np.asarray(got_mux), np.asarray(sks_ntt.mux(ca, cb, ca)))
+
+
+def test_recombine_inv_pallas_interpret_matches_xla():
+    """The fused recombine+inverse-transform+fold kernel (the TPU path of
+    _recombine_nuss) must be bit-identical to the XLA u64-lane composition
+    across chunkings and glwe sizes, including limb counts."""
+    rng = np.random.default_rng(19)
+    for (ks1, N, L) in [(2, 256, 4), (3, 128, 4), (2, 512, 8)]:
+        cfg = bs.ServerConfig(lwe_dimension=4, glwe_dimension=ks1 - 1,
+                              polynomial_size=N, pbs_base_log=7, pbs_level=2,
+                              ks_base_log=4, ks_level=3)
+        plan = bsn.NussPlan.from_config(cfg, L)
+        B = 16
+        s = jnp.asarray(rng.integers(
+            -(1 << 28), 1 << 28,
+            size=(plan.two_l, B, ks1 * plan.limbs_used * plan.m),
+            dtype=np.int32))
+        want = np.asarray(bsn._recombine_nuss_u64(plan, s))
+        got = np.asarray(bsn._recombine_nuss_kernel(plan, s, interpret=True))
+        np.testing.assert_array_equal(got, want)
+
+
+@pytest.mark.parametrize("ks1,N,L,bl,lv", [
+    (2, 256, 4, 7, 2),
+    (3, 128, 4, 5, 3),
+    (2, 512, 8, 7, 2),     # bl_eff = 10 -> n_sub = 2 sub-split
+])
+def test_rotdig_fwd_nuss_pallas_interpret_matches_xla(ks1, N, L, bl, lv):
+    """The fused rotate+decompose+forward-transform kernel (the TPU front
+    half of a Nussbaumer CMux) must be bit-identical to the XLA composition
+    monomial_mul_chunked + _digit_matrix_nuss, including degrees in the
+    negated wrap half and the sub-digit split."""
+    rng = np.random.default_rng(23)
+    cfg = bs.ServerConfig(lwe_dimension=4, glwe_dimension=ks1 - 1,
+                          polynomial_size=N, pbs_base_log=bl, pbs_level=lv,
+                          ks_base_log=4, ks_level=3)
+    plan = bsn.NussPlan.from_config(cfg, L)
+    B = 16
+    acc = jnp.asarray(rng.integers(0, 1 << 32, size=(ks1, B, L, N // L),
+                                   dtype=np.uint32))
+    a_hat = jnp.asarray(
+        np.concatenate([rng.integers(0, 2 * N, size=B - 3),
+                        [0, N, 2 * N - 1]]).astype(np.uint32))
+    rot = nb.monomial_mul_chunked(acc, a_hat[None, :], L)
+    want = np.asarray(bsn._digit_matrix_nuss(plan, rot - acc))
+    got = np.asarray(bsn._rotdig_nuss(plan, acc, a_hat, interpret=True))
+    np.testing.assert_array_equal(got, want)
