@@ -29,7 +29,8 @@ import numpy as np
 
 
 def measure_gates(params, batches, rng, levels=None):
-    """Best (rate, batch) for the full AND-gate pipeline at `params`."""
+    """Best (rate, batch) for the full AND-gate pipeline at `params`.
+    Also records every batch's rate in measure_gates.rates[batch]."""
     import jax
     import jax.numpy as jnp
 
@@ -59,6 +60,7 @@ def measure_gates(params, batches, rng, levels=None):
         return bsx.bootstrap_keyswitch_mxu(cfg, b, k, lut, lin)
 
     best, best_batch = 0.0, 0
+    measure_gates.rates = {}
     for batch in batches:
         ca = jnp.asarray(rng.integers(0, 1 << 32, size=(batch, n + 1), dtype=np.uint32))
         cb = jnp.asarray(rng.integers(0, 1 << 32, size=(batch, n + 1), dtype=np.uint32))
@@ -82,6 +84,7 @@ def measure_gates(params, batches, rng, levels=None):
             print(f"batch {batch} failed: {e}", file=sys.stderr)
             continue
         rate = batch / dt
+        measure_gates.rates[batch] = round(rate, 2)
         print(f"  batch {batch}: {dt*1e3:.1f} ms -> {rate:.1f} gates/s",
               file=sys.stderr)
         if rate > best:
@@ -116,11 +119,13 @@ def _require_live_backend(timeout_s: float = 300.0):
 
 def main():
     _require_live_backend()
-    # default batches: 2048 and 4096 only — 1024 never wins, and each batch
-    # shape costs a first compile (30-550 s through the remote toolchain
-    # with the rotation+digit kernel)
+    # default batches: 2048/4096/8192 — 1024 never wins; 8192 demonstrates
+    # the round-5 flat batch curve (the deferred-recombine auto rule takes
+    # over where the XLA recombine went superlinear). Each batch shape costs
+    # a first compile through the remote toolchain, amortized by the
+    # persistent compile cache.
     batches = [int(x) for x in
-               os.environ.get("BENCH_BATCHES", "2048,4096").split(",")]
+               os.environ.get("BENCH_BATCHES", "2048,4096,8192").split(",")]
     from concrete_tpu.params import TFHE_LIB_PARAMETERS, TPU128_PARAMETERS
 
     rng = np.random.default_rng(0)
@@ -143,7 +148,8 @@ def main():
 
     print("DEFAULT_PARAMETERS exact (reference point, error 2^-25):",
           file=sys.stderr)
-    default_exact, _ = measure_gates(DEFAULT_PARAMETERS, sec, rng)
+    default_exact, _ = measure_gates(DEFAULT_PARAMETERS, [2048, 4096], rng)
+    default_b4096 = measure_gates.rates.get(4096, 0.0)
 
     baseline = 1000.0 / 18.0  # reference: 18.0 ms/gate single CPU core
     default_baseline = 1000.0 / 11.3  # reference DEFAULT: 11.3 ms/gate
@@ -158,6 +164,7 @@ def main():
         "tfhe_lib_exact_gates_per_s": round(tfhe_exact, 2),
         "tfhe_lib_fast_l2_gates_per_s": round(tfhe_fast, 2),
         "default_exact_gates_per_s": round(default_exact, 2),
+        "default_exact_b4096_gates_per_s": round(default_b4096, 2),
         "default_vs_baseline": round(default_exact / default_baseline, 2),
     }))
 
