@@ -76,14 +76,14 @@ def _timed_pbs(cfg, bsk, lut, lwe, tag):
     return np.asarray(full)
 
 
-def stage_bitid(N, k):
+def stage_bitid(N, k, bl=7, l=3):
     import jax
     import jax.numpy as jnp
 
     from concrete_tpu.core import bootstrap_mxu as bsx
     from concrete_tpu.math import polynomial
 
-    cfg, plan = _cfg(N, k)
+    cfg, plan = _cfg(N, k, bl, l)
     ks1, B = plan.glwe_size, 2048
     rng = np.random.default_rng(3)
     acc = jnp.asarray(rng.integers(0, 1 << 64, (ks1, B, N), dtype=np.uint64))
@@ -104,8 +104,8 @@ def stage_bitid(N, k):
     print("bit-identity: OK", flush=True)
 
 
-def stage_pbs(N, k):
-    cfg, plan, bsk, lut, lwe = _setup(N, k)
+def stage_pbs(N, k, bl=7, l=3):
+    cfg, plan, bsk, lut, lwe = _setup(N, k, bl, l)
     os.environ["CONCRETE_TPU_ROTDIG64"] = "0"
     base = _timed_pbs(cfg, bsk, lut, lwe, "plane path OFF")
     os.environ["CONCRETE_TPU_ROTDIG64"] = "1"
@@ -114,8 +114,8 @@ def stage_pbs(N, k):
     print("bit-identity: OK", flush=True)
 
 
-def stage_pair(N, k):
-    cfg, plan, bsk, lut, lwe = _setup(N, k)
+def stage_pair(N, k, bl=7, l=3):
+    cfg, plan, bsk, lut, lwe = _setup(N, k, bl, l)
     # force the NON-plane path: with the plane path default-ON,
     # recombine_limb_planes is never reached and the i64-vs-pair comparison
     # would silently measure two identical configs
@@ -132,4 +132,6 @@ if __name__ == "__main__":
     cmd = sys.argv[1] if len(sys.argv) > 1 else "bitid"
     N = int(sys.argv[2]) if len(sys.argv) > 2 else 256
     k = int(sys.argv[3]) if len(sys.argv) > 3 else 4
-    {"bitid": stage_bitid, "pbs": stage_pbs, "pair": stage_pair}[cmd](N, k)
+    bl = int(sys.argv[4]) if len(sys.argv) > 4 else 7
+    l = int(sys.argv[5]) if len(sys.argv) > 5 else 3
+    {"bitid": stage_bitid, "pbs": stage_pbs, "pair": stage_pair}[cmd](N, k, bl, l)

@@ -618,12 +618,18 @@ def _rotdig_recombine_pallas(ks1: int, n: int, b: int, base_log: int,
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
+    r_blocks = level * ks1 * n_sub
     if tile is None:
-        tile = min(b, 512)
+        # VMEM-aware rows: the block set per tile row is s (ks1*lu*N i32)
+        # + acc in/out (2 * ks1*N u32) + d8 out (R*N i8), double-buffered
+        # by the pipeline — the N=2048 sweep shape overflowed the 100 MB
+        # scoped limit at the plain 512-row tile (108 MB)
+        per_row = (ks1 * limbs_used * n + 2 * ks1 * n) * 4 + r_blocks * n
+        budget = max(8, (48 << 20) // per_row)
+        tile = min(b, 512, 1 << (budget.bit_length() - 1))
         while b % tile:
             tile //= 2
     n_tiles = b // tile
-    r_blocks = level * ks1 * n_sub
 
     def kernel(s_ref, acc_ref, ah_ref, accn_ref, o_ref):
         ah = ah_ref[:, :1]                                   # [T, 1] i32
@@ -926,14 +932,19 @@ def blind_rotate_mxu(cfg: ServerConfig, bsk_rings, lut, lwe, *,
     defer_mode = os.environ.get("CONCRETE_TPU_DEFER", "auto")
     if defer_mode == "auto":
         # Measured crossover (v5e, round 5, probe_defer sweeps at TPU128 /
-        # TFHE_LIB / DEFAULT shapes): the dot-first deferred kernel beats
-        # the XLA recombine+accumulate exactly where XLA's fusion goes
-        # superlinear — when the per-CMux dot output S exceeds ~100 MB.
-        # Below that, XLA's recombine is at its single-pass floor and the
-        # Mosaic kernel's slower HBM streaming loses 4-15%. Numbers in
-        # docs/performance.md "deferred recombine".
+        # TFHE_LIB / DEFAULT shapes + the N-sweep): the dot-first deferred
+        # kernel beats the XLA recombine+accumulate where XLA's fusion
+        # goes superlinear — per-CMux dot output S past ~100 MB, except
+        # right at the boundary at small batch (the N=2048 sweep point,
+        # 134 MB at B=2048, still loses 3%; the same 134 MB at B=4096
+        # wins). Below the crossover XLA's recombine is at its single-pass
+        # floor and the Mosaic kernel's slower HBM streaming loses 4-15%.
+        # All nine measured points classify correctly; numbers in
+        # docs/performance.md "Deferred recombine".
         s_bytes = b * ks1 * plan.limbs_used * N * 4
-        defer_mode = "3" if s_bytes > 100e6 else "0"
+        defer_mode = ("3" if s_bytes > 100e6 and (b >= 4096
+                                                  or s_bytes >= 200e6)
+                      else "0")
     # the kernel emits n_sub <= 2 digit rows (DEFAULT's bl=8 included);
     # modes "1"/"2" (S-carry compositions) were REMOVED in round 5 — they
     # hang the remote toolchain (see the comment block above) and the
