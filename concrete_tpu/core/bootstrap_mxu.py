@@ -1015,23 +1015,24 @@ def blind_rotate_mxu(cfg: ServerConfig, bsk_rings, lut, lwe, *,
 def _rotdig64_kernel_active(plan: MxuPlan) -> bool:
     import os
 
-    # DEFAULT ON for n_sub == 1 (opt-out CONCRETE_TPU_ROTDIG64=0): validated
-    # on v5e 2026-08-19 (benchmarks/probe_rotdig64*.py) — bit-identical to
-    # the emulated-i64 scan at N=256/k=4 and N=1024/k=1, +1..5% steady-state
-    # and 10-26x faster Mosaic compile (11-18 s vs 158-286 s).
+    # DEFAULT ON for n_sub <= 2 (opt-out CONCRETE_TPU_ROTDIG64=0): validated
+    # on v5e — n_sub==1 on 2026-08-19 (bit-identical at N=256/k=4 and
+    # N=1024/k=1, +1..5% steady-state, 10-26x faster Mosaic compile), and
+    # n_sub==2 on 2026-08-20 at the documented bl=10/l=3 ladder shape
+    # (bit-identical, 1,066 vs 966 PBS/s = +10%, compile 17.7 s vs 86.9 s
+    # — benchmarks/probe_rotdig64.py pbs 1024 1 10 3).
     # base_log*level <= 32 is the kernel's u32-state precondition
-    # (_rotdig_pallas64). n_sub > 1 shapes (e.g. bl=10/l=3 or bl=23/l=1)
-    # were NOT part of that validation and a hung Mosaic compile on the
-    # default path wedges the single-tenant chip, so — matching the 32-bit
-    # gate's precedent (_rotdig_kernel_active) — they stay opt-in behind an
-    # EXPLICIT CONCRETE_TPU_ROTDIG64=1.
+    # (_rotdig_pallas64). n_sub >= 3 shapes (bl >= 15) were not part of
+    # either validation and a hung Mosaic compile on the default path
+    # wedges the single-tenant chip — they stay opt-in behind an EXPLICIT
+    # CONCRETE_TPU_ROTDIG64=1.
     if not (plan.bits == 64 and _on_tpu()
             and plan.base_log * plan.level <= 32):
         return False
     flag = os.environ.get("CONCRETE_TPU_ROTDIG64")
     if flag == "0":
         return False
-    if plan.n_sub == 1:
+    if plan.n_sub <= 2:
         return True
     return flag == "1"
 
