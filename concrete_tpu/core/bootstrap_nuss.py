@@ -57,13 +57,15 @@ class NussPlan:
 
     @classmethod
     def best_l(cls, cfg: ServerConfig) -> int:
-        """Config-aware default chunk count: enumerate every feasible L and
-        minimize the per-iteration MXU work 2L * n_sub * limbs * M^2 (the
-        dot MACs and the expanded-RHS bytes both scale with it), tying to
-        the SMALLER L (fewer rotation-only transform stages, larger M-point
-        matmul tiles). On-TPU sweep at N=8192 (benchmarks/probe_nuss.py):
-        the MACs model and the measurement agree on L=32 over the earlier
-        static pick_l choice of 16.
+        """Config-aware default chunk count: among feasible L, prefer the
+        KERNEL-ELIGIBLE chunkings (2L <= 64 — the fused recombine kernel's
+        compile envelope) and within them minimize the per-iteration MXU
+        work 2L * n_sub * limbs * M^2, tying to the SMALLER L. The MACs
+        model alone picked L=128 at N=16384, but the fused-kernel
+        economics dominate: measured 351 PBS/s at L=32 (kernel) vs 103 at
+        L=128 (XLA recombine, 2x fewer MACs) on v5e — 3.4x, plus half the
+        key bytes. Chunkings past the envelope are used only when no
+        eligible L exists.
 
         >>> from concrete_tpu.core.bootstrap import ServerConfig
         >>> cfg = ServerConfig(lwe_dimension=100, glwe_dimension=1,
@@ -71,9 +73,13 @@ class NussPlan:
         ...     ks_base_log=2, ks_level=5)
         >>> NussPlan.best_l(cfg)
         32
+        >>> NussPlan.best_l(ServerConfig(lwe_dimension=100,
+        ...     glwe_dimension=1, polynomial_size=16384, pbs_base_log=2,
+        ...     pbs_level=3, ks_base_log=2, ks_level=5))
+        32
         """
         n = cfg.polynomial_size
-        best, best_cost = None, None
+        candidates = []
         l = 2
         while l * l <= n:
             m = n // l
@@ -84,13 +90,12 @@ class NussPlan:
                     l *= 2
                     continue
                 cost = 2 * l * plan.n_sub * plan.limbs_used * m * m
-                if best_cost is None or cost < best_cost:
-                    best, best_cost = l, cost
+                candidates.append((2 * l > 64, cost, l))
             l *= 2
-        if best is None:
+        if not candidates:
             raise NotImplementedError(
                 f"no feasible Nussbaumer chunking for N={n}")
-        return best
+        return min(candidates)[2]
 
     @classmethod
     def from_config(cls, cfg: ServerConfig, l: int | None = None) -> "NussPlan":
@@ -589,6 +594,154 @@ def _inverse_fold_pairs(plan: NussPlan, lo, hi):
     return _pair_add(lo[..., :plan.l, :], hi[..., :plan.l, :], zl, zh)
 
 
+# --- 3-word (96-bit) lane arithmetic for the u64-torus recombine kernel --
+# Mosaic rejects i64 lanes, so the u64-torus values (exact mod
+# 2^(64+shift) <= 2^72) ride explicit (w0, w1, w2) u32 word triples.
+
+
+def _w3_add(a, b):
+    r0 = a[0] + b[0]
+    c1 = (r0 < a[0]).astype(jnp.uint32)
+    r1t = a[1] + b[1]
+    c2a = (r1t < a[1]).astype(jnp.uint32)
+    r1 = r1t + c1
+    c2b = (r1 < r1t).astype(jnp.uint32)
+    return r0, r1, a[2] + b[2] + c2a + c2b
+
+
+def _w3_sub(a, b):
+    r0 = a[0] - b[0]
+    br1 = (a[0] < b[0]).astype(jnp.uint32)
+    r1t = a[1] - b[1]
+    br2a = (a[1] < b[1]).astype(jnp.uint32)
+    r1 = r1t - br1
+    br2b = (r1t < br1).astype(jnp.uint32)
+    return r0, r1, a[2] - b[2] - br2a - br2b
+
+
+def _w3_neg(a):
+    z = tuple(jnp.zeros_like(w) for w in a)
+    return _w3_sub(z, a)
+
+
+def _w3_negroll(a, shift: int):
+    """a * Z^shift in R_M on (w0, w1, w2) triples, static shift."""
+    m = a[0].shape[-1]
+    shift %= 2 * m
+    neg = shift >= m
+    shift %= m
+    if shift:
+        nh = _w3_neg(tuple(w[..., m - shift:] for w in a))
+        a = tuple(jnp.concatenate([nh[i], w[..., : m - shift]], axis=-1)
+                  for i, w in enumerate(a))
+    return _w3_neg(a) if neg else a
+
+
+@functools.lru_cache(maxsize=None)
+def _recombine_inv_pallas64(ks1: int, two_l: int, m: int, b: int, lu: int,
+                            l: int, shift: int,
+                            interpret: bool = False,
+                            tile: int | None = None):
+    """u64-TORUS twin of `_recombine_inv_pallas`: limb recombination into
+    96-bit word triples (exact mod 2^(64+shift)), inverse transform + fold
+    on triples, deferred /2L — one VPU kernel emitting the result as TWO
+    u32 word planes [2, k+1, B, L, M] (plane 0 = low u64 word; Mosaic has
+    no 64-bit lanes, the caller bitcasts the plane pair back to u64)."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    if tile is None:
+        budget = max(8, (12 << 20) // (two_l * ks1 * lu * m * 4))
+        tile = min(b, 1 << (budget.bit_length() - 1))
+        while b % tile:
+            tile //= 2
+    n_tiles = b // tile
+    root = m // l
+    stages = two_l.bit_length() - 1
+
+    def kernel(s_ref, o_ref):
+        for kj in range(ks1):
+            base = kj * lu * m
+            # limb recombination: sum_j sext96(s_j) << 8j on word triples
+            acc = tuple(jnp.zeros((two_l, tile, m), jnp.uint32)
+                        for _ in range(3))
+            for j in range(lu):
+                t = 8 * j
+                d, r = divmod(t, 32)
+                sm = s_ref[:, :, base + j * m:base + (j + 1) * m]   # i32
+                su = jax.lax.bitcast_convert_type(sm, jnp.uint32)
+                eu = jax.lax.bitcast_convert_type(
+                    sm >> jnp.int32(31), jnp.uint32)     # sign word
+                x = (su, eu, eu)
+                y = []
+                for k in range(3):
+                    lo_i = k - d
+                    w = None
+                    if 0 <= lo_i:
+                        w = x[lo_i] << jnp.uint32(r) if r else x[lo_i]
+                    if r and 0 <= lo_i - 1:
+                        spill = x[lo_i - 1] >> jnp.uint32(32 - r)
+                        w = spill if w is None else (w | spill)
+                    y.append(w if w is not None
+                             else jnp.zeros_like(su))
+                acc = _w3_add(acc, tuple(y))
+            # inverse 2L-point polynomial transform on triples
+            for st in reversed(range(stages)):
+                half = two_l >> (st + 1)
+                shp = (1 << st, 2, half, tile, m)
+                wr = tuple(w.reshape(shp) for w in acc)
+                u = tuple(w[:, 0] for w in wr)
+                v_in = tuple(w[:, 1] for w in wr)
+                vs = [_w3_negroll(tuple(w[:, j] for w in v_in),
+                                  -root * j * (1 << st))
+                      for j in range(half)]
+                v = tuple(jnp.stack([vv[i] for vv in vs], axis=1)
+                          for i in range(3))
+                a3 = _w3_add(u, v)
+                b3 = _w3_sub(u, v)
+                acc = tuple(
+                    jnp.concatenate([a3[i], b3[i]], axis=1).reshape(
+                        two_l, tile, m)
+                    for i in range(3))
+            # fold mod (Y^L - Z) + deferred /2L
+            zt = _w3_negroll(tuple(w[l:] for w in acc), 1)
+            lo3 = _w3_add(tuple(w[:l] for w in acc), zt)    # [L, T, M] x3
+            sh, ish = jnp.uint32(shift), jnp.uint32(32 - shift)
+            out_lo = (lo3[0] >> sh) | (lo3[1] << ish)
+            out_hi = (lo3[1] >> sh) | (lo3[2] << ish)
+            o_ref[0, kj] = jnp.swapaxes(out_lo, 0, 1)
+            o_ref[1, kj] = jnp.swapaxes(out_hi, 0, 1)
+
+    return pl.pallas_call(
+        kernel,
+        grid=(n_tiles,),
+        in_specs=[
+            pl.BlockSpec((two_l, tile, ks1 * lu * m), lambda t: (0, t, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((2, ks1, tile, l, m),
+                               lambda t: (0, 0, t, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((2, ks1, b, l, m), jnp.uint32),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )
+
+
+def _recombine_nuss_torus64_kernel(plan: NussPlan, s,
+                                   interpret: bool = False):
+    """_recombine_nuss_torus64 via the fused 3-word Pallas kernel."""
+    b = s.shape[1]
+    with jax.enable_x64(False):
+        kern = _recombine_inv_pallas64(
+            plan.glwe_size, plan.two_l, plan.m, b, plan.limbs_used,
+            plan.l, plan.shift, interpret=interpret)
+        planes = kern(s)
+    pairs = jnp.moveaxis(planes, 0, -1)           # [k+1, B, L, M, 2]
+    return jax.lax.bitcast_convert_type(pairs, jnp.uint64)
+
+
 def _recombine_nuss_torus64(plan: NussPlan, s):
     """u64-TORUS recombine: dot output s [2L, B, (k+1)*limbs*M] i32 ->
     chunk-major update [k+1, B, L, M] u64. The per-frequency values are
@@ -596,6 +749,11 @@ def _recombine_nuss_torus64(plan: NussPlan, s):
     (v5e emulates u64 lanes, but the pair form only materializes the few
     hi bits that matter); inverse transform + fold on the pairs, then the
     deferred /2L shift recombines the pair into the u64 result."""
+    import os
+
+    if (os.environ.get("CONCRETE_TPU_NUSS_INV", "auto") == "auto"
+            and bsx._on_tpu() and plan.two_l <= 64):
+        return _recombine_nuss_torus64_kernel(plan, s)
     m, lu, ks1 = plan.m, plan.limbs_used, plan.glwe_size
     los, his = [], []
     for kj in range(ks1):

@@ -145,19 +145,23 @@ def test_plan_validation():
 
 
 def test_best_l_model():
-    """Config-aware default L: minimizes 2L*n_sub*limbs*M^2 over feasible
-    chunkings, tying to the smaller L."""
+    """Config-aware default L: kernel-eligible chunkings (2L <= 64) first
+    — the fused recombine kernel measured 3.4x over the MAC-optimal
+    out-of-envelope choice at N=16384 — then minimize
+    2L*n_sub*limbs*M^2, tying to the smaller L."""
     mk = lambda N, bl: bs.ServerConfig(
         lwe_dimension=8, glwe_dimension=1, polynomial_size=N,
         pbs_base_log=bl, pbs_level=3, ks_base_log=2, ks_level=5)
     # bl=2: n_sub stays 1 through L=32 (bl_eff=7); L=64 doubles n_sub for
     # the same MACs -> 32 wins the tie by coming first
     assert bsn.NussPlan.best_l(mk(8192, 2)) == 32
-    # bl=7: every feasible L has n_sub=2, so the largest L (fewest MACs)
-    # wins outright
-    assert bsn.NussPlan.best_l(mk(8192, 7)) == 64
+    # bl=7: L=64 has the fewest MACs but 2L=128 exceeds the kernel
+    # envelope; L=32 is the cheapest eligible chunking
+    assert bsn.NussPlan.best_l(mk(8192, 7)) == 32
+    # N=16384: L=128 halves the MACs but measured 3.4x SLOWER than the
+    # kernel-eligible L=32 (docs/performance.md)
     l16 = bsn.NussPlan.best_l(mk(16384, 2))
-    assert 16384 % l16 == 0 and (16384 // l16) % l16 == 0
+    assert l16 == 32
 
 
 def test_server_key_nuss_backend():
@@ -233,3 +237,24 @@ def test_rotdig_fwd_nuss_pallas_interpret_matches_xla(ks1, N, L, bl, lv):
     want = np.asarray(bsn._digit_matrix_nuss(plan, rot - acc))
     got = np.asarray(bsn._rotdig_nuss(plan, acc, a_hat, interpret=True))
     np.testing.assert_array_equal(got, want)
+
+
+def test_recombine_inv_pallas64_interpret_matches_xla():
+    """The u64-TORUS fused recombine kernel (96-bit word triples) must be
+    bit-identical to the XLA i64-lane composition across chunkings, limb
+    counts, and glwe sizes."""
+    rng = np.random.default_rng(29)
+    for (ks1, N, L) in [(2, 256, 4), (3, 128, 4), (2, 512, 8)]:
+        cfg = bs.ServerConfig(lwe_dimension=4, glwe_dimension=ks1 - 1,
+                              polynomial_size=N, pbs_base_log=7, pbs_level=2,
+                              ks_base_log=4, ks_level=3, bits=64)
+        plan = bsn.NussPlan.from_config(cfg, L)
+        B = 16
+        s = jnp.asarray(rng.integers(
+            -(1 << 28), 1 << 28,
+            size=(plan.two_l, B, ks1 * plan.limbs_used * plan.m),
+            dtype=np.int32))
+        want = np.asarray(bsn._recombine_nuss_torus64(plan, s))
+        got = np.asarray(
+            bsn._recombine_nuss_torus64_kernel(plan, s, interpret=True))
+        np.testing.assert_array_equal(got, want)
