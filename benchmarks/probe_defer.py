@@ -108,7 +108,7 @@ def _scan_body(cfg, variant):
         with jax.enable_x64(False):
             kern = bsx._rotdig_recombine_pallas(
                 ks1, N, b, plan.base_log, plan.level,
-                plan.limbs_used, plan.limb_drop)
+                plan.limbs_used, plan.limb_drop, plan.n_sub)
 
         def step(carry, xs):
             acc_c, s_prev = carry
@@ -118,10 +118,9 @@ def _scan_body(cfg, variant):
                     s_prev, acc_c, a_hat.astype(jnp.int32)[:, None])
             if variant == "nodot":
                 # cheap stand-in with the same carry shape/dtype as the dot
-                s_new = jnp.tile(
-                    d8.astype(jnp.int32),
-                    (1, (ks1 * plan.limbs_used) // (plan.level * ks1)),
-                )[:, : ks1 * plan.limbs_used * N]
+                cols = ks1 * plan.limbs_used * N
+                reps = -(-cols // d8.shape[1])
+                s_new = jnp.tile(d8.astype(jnp.int32), (1, reps))[:, :cols]
             else:
                 rhs = bsx.build_tables(rings_i, N, plan.n_words,
                                        plan.limb_drop)
@@ -159,7 +158,7 @@ def main():
         with jax.enable_x64(False):
             kern = bsx._rotdig_recombine_pallas(
                 ks1, N, b, plan.base_log, plan.level,
-                plan.limbs_used, plan.limb_drop)
+                plan.limbs_used, plan.limb_drop, plan.n_sub)
             s = jnp.asarray(rng.integers(
                 -(1 << 20), 1 << 20,
                 size=(b, ks1 * plan.limbs_used * N)).astype(np.int32))

@@ -960,37 +960,36 @@ def blind_rotate_mxu(cfg: ServerConfig, bsk_rings, lut, lwe, *,
         # composition specifically; this form removes that edge while
         # keeping the win (the XLA recombine+accumulate HLO disappears; the
         # S read rides the kernel's DMA pipeline under the barrel-rotation
-        # compute). Step j consumes rings_{j-1} (for the pending dot) and
-        # a_hat_j, so the rings xs is shifted by one and the last dot +
-        # recombine land after the scan.
+        # compute). Step j consumes rings_j (for the pending dot) and
+        # a_hat_{j+1}: a pre-scan kernel call applies a_hat_0 with a zero
+        # pending S, the a_hats xs shifts by one (tiny [n, B] copy — NOT a
+        # BSK-sized rings copy), and the last step's dummy a_hat=0 rotates
+        # by X^0 (its digits of a zero diff are zero and are discarded).
         with jax.enable_x64(False):
             kern = _rotdig_recombine_pallas(
                 ks1, N, b, plan.base_log, plan.level,
                 plan.limbs_used, plan.limb_drop, plan.n_sub)
 
+        s0 = jnp.zeros((b, ks1 * plan.limbs_used * N), jnp.int32)
+        with jax.enable_x64(False):
+            acc, d8 = kern(s0, acc, a_hats[0].astype(jnp.int32)[:, None])
+        a_next = jnp.concatenate(
+            [a_hats[1:], jnp.zeros_like(a_hats[:1])], axis=0)
+
         def step_deferred3(carry, xs):
             acc_c, d8_prev = carry
-            rings_prev, a_hat = xs
-            rhs = build_tables(rings_prev, N, plan.n_words, plan.limb_drop)
-            s_prev = jax.lax.dot_general(
+            rings_j, a_hat = xs
+            rhs = build_tables(rings_j, N, plan.n_words, plan.limb_drop)
+            s_j = jax.lax.dot_general(
                 d8_prev, rhs, (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.int32)
             with jax.enable_x64(False):
-                acc_new, d8 = kern(
-                    s_prev, acc_c, a_hat.astype(jnp.int32)[:, None])
-            return (acc_new, d8), None
+                acc_new, d8_new = kern(
+                    s_j, acc_c, a_hat.astype(jnp.int32)[:, None])
+            return (acc_new, d8_new), None
 
-        rings_shift = jnp.concatenate(
-            [jnp.zeros_like(bsk_rings[:1]), bsk_rings[:-1]], axis=0)
-        d8_0 = jnp.zeros((b, plan.row_blocks * N), jnp.int8)
-        (acc, d8_last), _ = jax.lax.scan(
-            step_deferred3, (acc, d8_0), (rings_shift, a_hats),
-            unroll=unroll)
-        rhs = build_tables(bsk_rings[-1], N, plan.n_words, plan.limb_drop)
-        s_last = jax.lax.dot_general(
-            d8_last, rhs, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.int32)
-        acc = acc + recombine_limb_planes(plan, s_last)
+        (acc, _), _ = jax.lax.scan(
+            step_deferred3, (acc, d8), (bsk_rings, a_next), unroll=unroll)
         return jnp.moveaxis(acc, 0, 1).reshape(lead + (ks1, N))
     if _rotdig64_kernel_active(plan) and not use_fused:
         return _blind_rotate_u64_planes(
@@ -1015,24 +1014,25 @@ def blind_rotate_mxu(cfg: ServerConfig, bsk_rings, lut, lwe, *,
 def _rotdig64_kernel_active(plan: MxuPlan) -> bool:
     import os
 
-    # DEFAULT ON for n_sub <= 2 (opt-out CONCRETE_TPU_ROTDIG64=0): validated
-    # on v5e — n_sub==1 on 2026-08-19 (bit-identical at N=256/k=4 and
-    # N=1024/k=1, +1..5% steady-state, 10-26x faster Mosaic compile), and
-    # n_sub==2 on 2026-08-20 at the documented bl=10/l=3 ladder shape
-    # (bit-identical, 1,066 vs 966 PBS/s = +10%, compile 17.7 s vs 86.9 s
-    # — benchmarks/probe_rotdig64.py pbs 1024 1 10 3).
-    # base_log*level <= 32 is the kernel's u32-state precondition
-    # (_rotdig_pallas64). n_sub >= 3 shapes (bl >= 15) were not part of
-    # either validation and a hung Mosaic compile on the default path
-    # wedges the single-tenant chip — they stay opt-in behind an EXPLICIT
-    # CONCRETE_TPU_ROTDIG64=1.
+    # DEFAULT ON for n_sub == 1 (opt-out CONCRETE_TPU_ROTDIG64=0): validated
+    # on v5e 2026-08-19 — bit-identical at N=256/k=4 and N=1024/k=1,
+    # +1..5% steady-state, 10-26x faster Mosaic compile (11-18 s vs
+    # 158-286 s). base_log*level <= 32 is the kernel's u32-state
+    # precondition (_rotdig_pallas64). n_sub == 2 was validated at ONE
+    # shape (2026-08-20, the documented bl=10/l=3 ladder at N=1024/k=1:
+    # bit-identical, 1,066 vs 966 PBS/s = +10%, compile 17.7 s vs 86.9 s
+    # — benchmarks/probe_rotdig64.py pbs 1024 1 10 3) but stays OPT-IN
+    # with n_sub >= 3, matching the 32-bit gate's precedent
+    # (_rotdig_kernel_active): a hung Mosaic compile at an unswept shape
+    # on the default path would wedge the single-tenant chip for every
+    # caller. Set CONCRETE_TPU_ROTDIG64=1 to enable it explicitly.
     if not (plan.bits == 64 and _on_tpu()
             and plan.base_log * plan.level <= 32):
         return False
     flag = os.environ.get("CONCRETE_TPU_ROTDIG64")
     if flag == "0":
         return False
-    if plan.n_sub <= 2:
+    if plan.n_sub == 1:
         return True
     return flag == "1"
 

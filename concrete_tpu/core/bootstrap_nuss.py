@@ -862,10 +862,10 @@ def _rotdig_fwd_nuss_pallas(ks1: int, l: int, m: int, b: int, base_log: int,
                 s = (1 << bit) % (2 * n)
                 q, r = divmod(s, l)
                 if r == 0:
-                    rolled = _kernel_negroll_u32(rot, q, m)
+                    rolled = nb._neg_roll_static(rot, q)
                 else:
-                    hi = _kernel_negroll_u32(rot[:, l - r:], q + 1, m)
-                    lo = _kernel_negroll_u32(rot[:, :l - r], q, m)
+                    hi = nb._neg_roll_static(rot[:, l - r:], q + 1)
+                    lo = nb._neg_roll_static(rot[:, :l - r], q)
                     rolled = jnp.concatenate([hi, lo], axis=1)
                 take = (bit_sel >> bit) & 1
                 rot = jnp.where(take == 1, rolled, rot)
@@ -902,8 +902,8 @@ def _rotdig_fwd_nuss_pallas(ks1: int, l: int, m: int, b: int, base_log: int,
                     lo_s = a + bq
                     dff = a - bq
                     hi_s = jnp.concatenate(
-                        [_kernel_negroll_i32(
-                            dff[:, :, j:j + 1], root * j * (1 << st), m)
+                        [nb._neg_roll_static(
+                            dff[:, :, j:j + 1], root * j * (1 << st))
                          for j in range(half)], axis=2)
                     dz = jnp.stack([lo_s, hi_s], axis=2).reshape(
                         tile, two_l, m)
@@ -929,29 +929,6 @@ def _rotdig_fwd_nuss_pallas(ks1: int, l: int, m: int, b: int, base_log: int,
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
     )
-
-
-def _kernel_negroll_u32(x, shift: int, m: int):
-    """x * Z^shift (negacyclic, wrapping u32) on the LAST axis, static
-    shift — slice+concat only (the Mosaic-safe form)."""
-    shift = shift % (2 * m)
-    neg = shift >= m
-    shift = shift % m
-    if shift:
-        x = jnp.concatenate(
-            [np.uint32(0) - x[..., m - shift:], x[..., :m - shift]], axis=-1)
-    return (np.uint32(0) - x) if neg else x
-
-
-def _kernel_negroll_i32(x, shift: int, m: int):
-    """i32 twin of _kernel_negroll_u32 (digit-transform twiddles)."""
-    shift = shift % (2 * m)
-    neg = shift >= m
-    shift = shift % m
-    if shift:
-        x = jnp.concatenate(
-            [jnp.int32(0) - x[..., m - shift:], x[..., :m - shift]], axis=-1)
-    return (jnp.int32(0) - x) if neg else x
 
 
 def _rotdig_nuss(plan: NussPlan, acc_cm, a_hat, interpret: bool = False):
