@@ -670,6 +670,31 @@ def _rotdig_recombine_pallas(ks1: int, n: int, b: int, base_log: int,
     )
 
 
+def auto_defer(plan: MxuPlan, batch: int) -> bool:
+    """Should this (plan, batch) run the dot-first deferred-recombine scan?
+
+    Measured crossover (v5e, round 5, probe_defer sweeps at TPU128 /
+    TFHE_LIB / DEFAULT shapes + the N-sweep): the deferred kernel beats the
+    XLA recombine+accumulate where XLA's fusion goes superlinear — per-CMux
+    dot output S past ~100 MB — except right at the boundary at small
+    batch (the N=2048 sweep point, 134 MB at B=2048, still loses 3%; the
+    same 134 MB at B=4096 wins). Below the crossover XLA's recombine is at
+    its single-pass floor and the Mosaic kernel's slower HBM streaming
+    loses 4-15%. All nine measured points classify correctly
+    (docs/performance.md "Deferred recombine").
+
+    >>> from concrete_tpu.core.bootstrap import ServerConfig
+    >>> tpu128 = MxuPlan.from_config(ServerConfig(
+    ...     lwe_dimension=630, glwe_dimension=4, polynomial_size=256,
+    ...     pbs_base_log=7, pbs_level=2, ks_base_log=4, ks_level=3))
+    >>> [auto_defer(tpu128, b) for b in (2048, 4096, 8192)]
+    [False, False, True]
+    """
+    s_bytes = batch * plan.glwe_size * plan.limbs_used * \
+        plan.polynomial_size * 4
+    return s_bytes > 100e6 and (batch >= 4096 or s_bytes >= 200e6)
+
+
 def _rotdig_kernel_active(plan: MxuPlan) -> bool:
     import os
 
@@ -931,20 +956,7 @@ def blind_rotate_mxu(cfg: ServerConfig, bsk_rings, lut, lwe, *,
     # by the measured S-traffic crossover above.
     defer_mode = os.environ.get("CONCRETE_TPU_DEFER", "auto")
     if defer_mode == "auto":
-        # Measured crossover (v5e, round 5, probe_defer sweeps at TPU128 /
-        # TFHE_LIB / DEFAULT shapes + the N-sweep): the dot-first deferred
-        # kernel beats the XLA recombine+accumulate where XLA's fusion
-        # goes superlinear — per-CMux dot output S past ~100 MB, except
-        # right at the boundary at small batch (the N=2048 sweep point,
-        # 134 MB at B=2048, still loses 3%; the same 134 MB at B=4096
-        # wins). Below the crossover XLA's recombine is at its single-pass
-        # floor and the Mosaic kernel's slower HBM streaming loses 4-15%.
-        # All nine measured points classify correctly; numbers in
-        # docs/performance.md "Deferred recombine".
-        s_bytes = b * ks1 * plan.limbs_used * N * 4
-        defer_mode = ("3" if s_bytes > 100e6 and (b >= 4096
-                                                  or s_bytes >= 200e6)
-                      else "0")
+        defer_mode = "3" if auto_defer(plan, b) else "0"
     # the kernel emits n_sub <= 2 digit rows (DEFAULT's bl=8 included);
     # modes "1"/"2" (S-carry compositions) were REMOVED in round 5 — they
     # hang the remote toolchain (see the comment block above) and the
