@@ -40,6 +40,24 @@ from .bootstrap import ServerConfig, pbs_modulus_switch, sample_extract
 from . import bootstrap_mxu as bsx
 
 
+# Compile-validated envelope of the fused recombine kernels: the
+# butterflies unroll half-per-stage negrolls, and the 2L=256 instance
+# (N=16384, L=128) ran the remote Mosaic compiler past 25 minutes.
+# best_l's chunking preference and every runtime kernel gate share this.
+KERNEL_TWO_L_MAX = 64
+
+
+def _recombine_tile(b: int, two_l: int, ks1: int, lu: int, m: int) -> int:
+    """Batch-tile rows for the fused recombine kernels: the s block
+    [2L, T, ks1*lu*M] i32 double-buffered within a ~12 MB budget,
+    power-of-two rows so the tile divides every power-of-two batch."""
+    budget = max(8, (12 << 20) // (two_l * ks1 * lu * m * 4))
+    tile = min(b, 1 << (budget.bit_length() - 1))
+    while b % tile:
+        tile //= 2
+    return tile
+
+
 @dataclasses.dataclass(frozen=True)
 class NussPlan:
     """Static layout of the Nussbaumer-domain external product."""
@@ -65,7 +83,10 @@ class NussPlan:
         economics dominate: measured 351 PBS/s at L=32 (kernel) vs 103 at
         L=128 (XLA recombine, 2x fewer MACs) on v5e — 3.4x, plus half the
         key bytes. Chunkings past the envelope are used only when no
-        eligible L exists.
+        eligible L exists. The preference is NOT conditioned on running on
+        TPU — keys converted on a CPU host must match the TPU serving
+        layout, so off-TPU (test/reference) runs accept the ~2x dot-MAC
+        tradeoff at N=16384 for layout portability.
 
         >>> from concrete_tpu.core.bootstrap import ServerConfig
         >>> cfg = ServerConfig(lwe_dimension=100, glwe_dimension=1,
@@ -90,7 +111,7 @@ class NussPlan:
                     l *= 2
                     continue
                 cost = 2 * l * plan.n_sub * plan.limbs_used * m * m
-                candidates.append((2 * l > 64, cost, l))
+                candidates.append((2 * l > KERNEL_TWO_L_MAX, cost, l))
             l *= 2
         if not candidates:
             raise NotImplementedError(
@@ -432,12 +453,7 @@ def _recombine_inv_pallas(ks1: int, two_l: int, m: int, b: int, lu: int,
     from jax.experimental.pallas import tpu as pltpu
 
     if tile is None:
-        # s block [2L, T, ks1*lu*M] i32 double-buffered; ~12 MB budget,
-        # power-of-two rows so the tile divides every power-of-two batch
-        budget = max(8, (12 << 20) // (two_l * ks1 * lu * m * 4))
-        tile = min(b, 1 << (budget.bit_length() - 1))
-        while b % tile:
-            tile //= 2
+        tile = _recombine_tile(b, two_l, ks1, lu, m)
     n_tiles = b // tile
     root = m // l                   # omega = Z^(M/L)
     stages = two_l.bit_length() - 1
@@ -532,7 +548,7 @@ def _recombine_nuss(plan: NussPlan, s):
     # unroll half-per-stage negrolls, and the 2L=256 instance (N=16384,
     # L=128) ran the remote Mosaic compiler past 25 minutes. Larger
     # transforms keep the XLA form.
-    if mode == "auto" and bsx._on_tpu() and plan.two_l <= 64:
+    if mode == "auto" and bsx._on_tpu() and plan.two_l <= KERNEL_TWO_L_MAX:
         return _recombine_nuss_kernel(plan, s)
     if mode != "pair":
         return _recombine_nuss_u64(plan, s)
@@ -651,10 +667,7 @@ def _recombine_inv_pallas64(ks1: int, two_l: int, m: int, b: int, lu: int,
     from jax.experimental.pallas import tpu as pltpu
 
     if tile is None:
-        budget = max(8, (12 << 20) // (two_l * ks1 * lu * m * 4))
-        tile = min(b, 1 << (budget.bit_length() - 1))
-        while b % tile:
-            tile //= 2
+        tile = _recombine_tile(b, two_l, ks1, lu, m)
     n_tiles = b // tile
     root = m // l
     stages = two_l.bit_length() - 1
@@ -752,7 +765,7 @@ def _recombine_nuss_torus64(plan: NussPlan, s):
     import os
 
     if (os.environ.get("CONCRETE_TPU_NUSS_INV", "auto") == "auto"
-            and bsx._on_tpu() and plan.two_l <= 64):
+            and bsx._on_tpu() and plan.two_l <= KERNEL_TWO_L_MAX):
         return _recombine_nuss_torus64_kernel(plan, s)
     m, lu, ks1 = plan.m, plan.limbs_used, plan.glwe_size
     los, his = [], []
@@ -947,7 +960,7 @@ def _rotdig_nuss(plan: NussPlan, acc_cm, a_hat, interpret: bool = False):
     use_kernel = (
         (interpret or (bsx._on_tpu() and flag))
         and plan.bits == 32 and bl_eff <= 14
-        and plan.two_l <= 64)  # compile envelope, see _recombine_nuss
+        and plan.two_l <= KERNEL_TWO_L_MAX)  # compile envelope
     if use_kernel:
         b = acc_cm.shape[1]
         with jax.enable_x64(False):

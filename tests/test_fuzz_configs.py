@@ -38,7 +38,7 @@ def test_external_product_cross_backend_fuzz(i):
     except NotImplementedError:
         return
     dt = np.uint32 if cfg.bits == 32 else np.uint64
-    hi = (1 << cfg.bits) - 1
+    hi = 1 << cfg.bits          # exclusive: all-ones values ARE reachable
     rng = np.random.default_rng(7000 + i)
     l, ks1, N = cfg.pbs_level, cfg.glwe_size, cfg.polynomial_size
     ggsw = rng.integers(0, hi, size=(l, ks1, ks1, N), dtype=dt)
@@ -82,7 +82,7 @@ def test_external_product_nuss_cross_backend_fuzz(i):
         return
     L = int(rng.choice(ok_plans))
     dt = np.uint32 if cfg.bits == 32 else np.uint64
-    hi = (1 << cfg.bits) - 1
+    hi = 1 << cfg.bits          # exclusive: all-ones values ARE reachable
     l, ks1, N = cfg.pbs_level, cfg.glwe_size, cfg.polynomial_size
     ggsw = rng.integers(0, hi, size=(l, ks1, ks1, N), dtype=dt)
     glwe = jnp.asarray(rng.integers(0, hi, size=(3, ks1, N), dtype=dt))
